@@ -1,0 +1,185 @@
+"""Prophesee evaluation protocol (host-side, numpy).
+
+Faithful re-implementation of ``utils/evaluation/prophesee/``:
+  * box filters (``io/box_filtering.py:18-36``): skip t <= 0.5 s, min box
+    diagonal and min side, applied to BOTH GT and predictions
+    (``evaluation.py:22-38``),
+  * +/-50 ms time-window matching of detections to GT timestamps
+    (``metrics/coco_eval.py:55-90``),
+  * COCO mAP via rvt_tpu.evaluation.coco (pycocotools is unavailable here),
+  * the ``PropheseeEvaluator`` buffer API (``evaluator.py:9-72``).
+
+Class maps: gen1 = (car, pedestrian); gen4 = (pedestrian, two-wheeler, car)
+(``evaluation.py:15-19``).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rvt_tpu.evaluation.coco import evaluate_coco_map
+
+BBOX_DTYPE = np.dtype({
+    "names": ["t", "x", "y", "w", "h", "class_id", "track_id", "class_confidence"],
+    "formats": ["<i8", "<f4", "<f4", "<f4", "<f4", "<u4", "<u4", "<f4"],
+    "offsets": [0, 8, 12, 16, 20, 24, 28, 32], "itemsize": 40})
+
+CLASSES = {
+    "gen1": ("car", "pedestrian"),
+    "gen4": ("pedestrian", "two-wheeler", "car"),
+}
+
+
+def filter_boxes(boxes: np.ndarray, skip_ts: int = int(5e5),
+                 min_box_diag: int = 60, min_box_side: int = 20) -> np.ndarray:
+    """Prophesee protocol filter (box_filtering.py:18-36)."""
+    ts = boxes["t"]
+    w, h = boxes["w"], boxes["h"]
+    mask = ((ts > skip_ts) & (w ** 2 + h ** 2 >= min_box_diag ** 2)
+            & (w >= min_box_side) & (h >= min_box_side))
+    return boxes[mask]
+
+
+def match_times(all_ts: np.ndarray, gt_boxes: np.ndarray, dt_boxes: np.ndarray,
+                time_tol: int = 50000):
+    """Window GT/DT per GT timestamp (coco_eval.py:55-90). GT window is the
+    exact timestamp; DT window is +/-time_tol around it."""
+    gt_size, dt_size = len(gt_boxes), len(dt_boxes)
+    windowed_gt, windowed_dt = [], []
+    low_gt = high_gt = low_dt = high_dt = 0
+    for ts in all_ts:
+        while low_gt < gt_size and gt_boxes[low_gt]["t"] < ts:
+            low_gt += 1
+        high_gt = max(low_gt, high_gt)
+        while high_gt < gt_size and gt_boxes[high_gt]["t"] <= ts:
+            high_gt += 1
+        low, high = ts - time_tol, ts + time_tol
+        while low_dt < dt_size and dt_boxes[low_dt]["t"] < low:
+            low_dt += 1
+        high_dt = max(low_dt, high_dt)
+        while high_dt < dt_size and dt_boxes[high_dt]["t"] <= high:
+            high_dt += 1
+        windowed_gt.append(gt_boxes[low_gt:high_gt])
+        windowed_dt.append(dt_boxes[low_dt:high_dt])
+    return windowed_gt, windowed_dt
+
+
+def evaluate_list(result_boxes_list: Sequence[np.ndarray],
+                  gt_boxes_list: Sequence[np.ndarray],
+                  height: int, width: int, camera: str = "gen1",
+                  apply_bbox_filters: bool = True,
+                  downsampled_by_2: bool = False) -> Dict[str, float]:
+    """Protocol entry point (evaluation.py:5-42)."""
+    assert camera in CLASSES, camera
+    num_classes = len(CLASSES[camera])
+
+    if apply_bbox_filters:
+        min_box_diag = 60 if camera == "gen4" else 30
+        min_box_side = 20 if camera == "gen4" else 10
+        if downsampled_by_2:
+            min_box_diag //= 2
+            min_box_side //= 2
+        gt_boxes_list = [filter_boxes(b, int(5e5), min_box_diag, min_box_side)
+                         for b in gt_boxes_list]
+        result_boxes_list = [filter_boxes(b, int(5e5), min_box_diag, min_box_side)
+                             for b in result_boxes_list]
+
+    flat_gt: List[np.ndarray] = []
+    flat_dt: List[np.ndarray] = []
+    for gt, dt in zip(gt_boxes_list, result_boxes_list):
+        assert np.all(gt["t"][1:] >= gt["t"][:-1]), "GT must be time-sorted"
+        assert np.all(dt["t"][1:] >= dt["t"][:-1]), "DT must be time-sorted"
+        all_ts = np.unique(gt["t"])
+        gw, dw = match_times(all_ts, gt, dt)
+        flat_gt += gw
+        flat_dt += dw
+
+    num_det = sum(len(d) for d in flat_dt)
+    out_keys = ("AP", "AP_50", "AP_75", "AP_S", "AP_M", "AP_L")
+    if num_det == 0:
+        return {k: 0.0 for k in out_keys}
+
+    def to_rows_gt(b: np.ndarray) -> np.ndarray:
+        return np.stack([b["x"], b["y"], b["w"], b["h"],
+                         b["class_id"].astype(np.float64)], axis=1) \
+            if len(b) else np.zeros((0, 5))
+
+    def to_rows_dt(b: np.ndarray) -> np.ndarray:
+        return np.stack([b["x"], b["y"], b["w"], b["h"],
+                         b["class_id"].astype(np.float64),
+                         b["class_confidence"].astype(np.float64)], axis=1) \
+            if len(b) else np.zeros((0, 6))
+
+    return evaluate_coco_map([to_rows_gt(g) for g in flat_gt],
+                             [to_rows_dt(d) for d in flat_dt],
+                             num_classes=num_classes)
+
+
+def labels_to_structured(labels: np.ndarray) -> np.ndarray:
+    """[N, 7] (t,x,y,w,h,cls,conf) float rows -> BBOX_DTYPE structured array
+    (mirrors loaded_label_to_prophesee, io/box_loading.py:47-55)."""
+    out = np.zeros((len(labels),), BBOX_DTYPE)
+    if len(labels):
+        out["t"] = labels[:, 0].astype(np.int64)
+        out["x"] = labels[:, 1]
+        out["y"] = labels[:, 2]
+        out["w"] = labels[:, 3]
+        out["h"] = labels[:, 4]
+        out["class_id"] = labels[:, 5].astype(np.uint32)
+        out["class_confidence"] = labels[:, 6]
+    return out
+
+
+def detections_to_structured(det: np.ndarray, valid: np.ndarray,
+                             time_us: int) -> np.ndarray:
+    """NMS output rows (x1,y1,x2,y2,obj,cls_conf,cls_id) -> BBOX_DTYPE,
+    stamped with the label-frame time (io/box_loading.py:81-97)."""
+    det = det[valid]
+    out = np.zeros((len(det),), BBOX_DTYPE)
+    if len(det):
+        out["t"] = time_us
+        out["x"] = det[:, 0]
+        out["y"] = det[:, 1]
+        out["w"] = det[:, 2] - det[:, 0]
+        out["h"] = det[:, 3] - det[:, 1]
+        out["class_id"] = det[:, 6].astype(np.uint32)
+        out["class_confidence"] = det[:, 5]
+    return out
+
+
+class PropheseeEvaluator:
+    """Accumulates per-frame GT/prediction arrays; evaluate at epoch end
+    (mirror of utils/evaluation/prophesee/evaluator.py:9-72)."""
+
+    def __init__(self, dataset: str, downsample_by_2: bool = False):
+        assert dataset in CLASSES, dataset
+        self.dataset = dataset
+        self.downsample_by_2 = downsample_by_2
+        self._labels: List[np.ndarray] = []
+        self._predictions: List[np.ndarray] = []
+
+    def add_labels(self, labels: Sequence[np.ndarray]) -> None:
+        self._labels.extend(labels)
+
+    def add_predictions(self, preds: Sequence[np.ndarray]) -> None:
+        self._predictions.extend(preds)
+
+    def has_data(self) -> bool:
+        return bool(self._labels)
+
+    def reset_buffer(self) -> None:
+        self._labels.clear()
+        self._predictions.clear()
+
+    def evaluate_buffer(self, img_height: int, img_width: int
+                        ) -> Optional[Dict[str, float]]:
+        if not self.has_data():
+            return None
+        assert len(self._labels) == len(self._predictions)
+        return evaluate_list(
+            result_boxes_list=self._predictions,
+            gt_boxes_list=self._labels,
+            height=img_height, width=img_width,
+            camera=self.dataset,
+            downsampled_by_2=self.downsample_by_2)

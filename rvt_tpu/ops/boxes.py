@@ -1,0 +1,141 @@
+"""Box utilities + fully on-device, static-shape NMS postprocess.
+
+Replaces the reference's host round-trip through torchvision's C++/CUDA
+``batched_nms`` (``models/detection/yolox/utils/boxes.py:32-76``) with a
+TPU-resident implementation:
+
+  * the confidence filter, top-k pre-selection, class-aware greedy NMS and
+    final top-k all run inside the same jit region as the model,
+  * every shape is static: the output is a padded ``[max_detections, 7]``
+    tensor + validity mask instead of a variable-length list,
+  * semantics match torchvision: boxes are processed in descending score
+    order and suppressed when IoU with an already-kept, same-class box
+    *exceeds* the threshold (strictly greater).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def cxcywh_to_xyxy(boxes: Array) -> Array:
+    cx, cy, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def xyxy_to_cxcywh(boxes: Array) -> Array:
+    x1, y1, x2, y2 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    return jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1)
+
+
+def pairwise_iou_xyxy(a: Array, b: Array) -> Array:
+    """IoU matrix [N, M] for xyxy boxes (== torchvision box_iou)."""
+    tl = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    br = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(br - tl, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.where(union > 0, union, 1.0)
+
+
+def pairwise_iou_cxcywh(a: Array, b: Array) -> Array:
+    """IoU matrix for cxcywh boxes (mirrors bboxes_iou(xyxy=False),
+    ``models/detection/yolox/utils/boxes.py:79-102``)."""
+    tl = jnp.maximum(a[:, None, :2] - a[:, None, 2:] / 2, b[None, :, :2] - b[None, :, 2:] / 2)
+    br = jnp.minimum(a[:, None, :2] + a[:, None, 2:] / 2, b[None, :, :2] + b[None, :, 2:] / 2)
+    en = jnp.all(tl < br, axis=-1).astype(a.dtype)
+    inter = jnp.prod(br - tl, axis=-1) * en
+    area_a = jnp.prod(a[:, 2:], axis=-1)
+    area_b = jnp.prod(b[:, 2:], axis=-1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.where(union != 0, union, 1.0)
+
+
+def _greedy_nms_mask(boxes: Array, scores: Array, valid: Array,
+                     iou_threshold: float) -> Array:
+    """Greedy NMS over boxes sorted by descending score.
+
+    boxes: [K, 4] xyxy (already class-offset for class-aware NMS), sorted.
+    Returns keep mask [K]. Sequential in rank order via lax.scan over rows
+    of the IoU matrix — identical result to torchvision's greedy loop.
+    """
+    K = boxes.shape[0]
+    iou = pairwise_iou_xyxy(boxes, boxes)
+
+    def body(suppressed, i):
+        keep_i = jnp.logical_and(valid[i], jnp.logical_not(suppressed[i]))
+        row = iou[i] > iou_threshold
+        later = jnp.arange(K) > i
+        suppressed = jnp.logical_or(suppressed, keep_i & row & later)
+        return suppressed, keep_i
+
+    _, keep = jax.lax.scan(body, jnp.zeros((K,), jnp.bool_), jnp.arange(K))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("num_classes", "conf_thre", "nms_thre",
+                                   "pre_nms_topk", "max_detections",
+                                   "class_agnostic"))
+def postprocess(prediction: Array, num_classes: int, conf_thre: float = 0.7,
+                nms_thre: float = 0.45, pre_nms_topk: int = 1000,
+                max_detections: int = 300, class_agnostic: bool = False,
+                ) -> Tuple[Array, Array]:
+    """Batched confidence filter + class-aware NMS, all on device.
+
+    prediction: [B, A, 5+C] — decoded cxcywh boxes, obj prob, class probs
+    (i.e. the inference output of the head after sigmoid).
+
+    Returns (detections [B, max_detections, 7], valid [B, max_detections]):
+    detections ordered (x1, y1, x2, y2, obj_conf, class_conf, class_id) —
+    the same layout as the reference postprocess (boxes.py:50-51).
+    """
+    def per_image(pred: Array) -> Tuple[Array, Array]:
+        boxes = cxcywh_to_xyxy(pred[:, :4])
+        obj = pred[:, 4]
+        cls_probs = pred[:, 5:5 + num_classes]
+        class_conf = jnp.max(cls_probs, axis=-1)
+        class_id = jnp.argmax(cls_probs, axis=-1).astype(jnp.float32)
+        score = obj * class_conf
+        valid = score >= conf_thre
+
+        k = min(pre_nms_topk, score.shape[0])
+        top_score, top_idx = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), k)
+        top_valid = jnp.isfinite(top_score)
+        top_boxes = boxes[top_idx]
+        top_cls = class_id[top_idx]
+
+        if class_agnostic:
+            nms_boxes = top_boxes
+        else:
+            # torchvision batched_nms trick: offset boxes per class so
+            # different classes never suppress each other.
+            max_coord = jnp.max(jnp.where(top_valid[:, None], top_boxes, 0.0))
+            offset = top_cls * (max_coord + 1.0)
+            nms_boxes = top_boxes + offset[:, None]
+
+        keep = _greedy_nms_mask(nms_boxes, top_score, top_valid, nms_thre)
+
+        kept_score = jnp.where(keep, top_score, -jnp.inf)
+        m = min(max_detections, k)
+        fin_score, fin_idx = jax.lax.top_k(kept_score, m)
+        fin_valid = jnp.isfinite(fin_score)
+        det = jnp.concatenate([
+            top_boxes[fin_idx],
+            obj[top_idx][fin_idx][:, None],
+            class_conf[top_idx][fin_idx][:, None],
+            top_cls[fin_idx][:, None],
+        ], axis=-1)
+        det = jnp.where(fin_valid[:, None], det, 0.0)
+        if m < max_detections:
+            det = jnp.pad(det, ((0, max_detections - m), (0, 0)))
+            fin_valid = jnp.pad(fin_valid, (0, max_detections - m))
+        return det, fin_valid
+
+    return jax.vmap(per_image)(prediction)

@@ -1,0 +1,38 @@
+"""Optimizer + LR schedule.
+
+Mirrors the reference recipe (``modules/detection.py:360-392``): AdamW with
+OneCycle *linear* annealing where the final LR is interpreted as
+``max_lr / final_div_factor`` (the reference converts this to PyTorch's
+convention at detection.py:372-375; we build the two linear segments
+directly), plus global-norm gradient clipping 1.0 (``train.py:122``).
+"""
+from __future__ import annotations
+
+import optax
+
+from rvt_tpu.config import TrainingConfig
+
+
+def onecycle_schedule(cfg: TrainingConfig) -> optax.Schedule:
+    s = cfg.lr_scheduler
+    max_lr = cfg.learning_rate
+    if not s.use:
+        return optax.constant_schedule(max_lr)
+    warmup_steps = int(s.pct_start * s.total_steps)
+    init_lr = max_lr / s.div_factor
+    final_lr = max_lr / s.final_div_factor
+    return optax.join_schedules(
+        schedules=[
+            optax.linear_schedule(init_lr, max_lr, warmup_steps),
+            optax.linear_schedule(max_lr, final_lr, s.total_steps - warmup_steps),
+        ],
+        boundaries=[warmup_steps],
+    )
+
+
+def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val),
+        optax.adamw(learning_rate=onecycle_schedule(cfg),
+                    weight_decay=cfg.weight_decay),
+    )

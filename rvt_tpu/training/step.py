@@ -1,0 +1,231 @@
+"""Jitted train / eval steps: TBPTT over a window, detection pass on
+gathered labelled frames, SimOTA loss, AdamW update.
+
+This is the TPU-native equivalent of the reference Lightning module's
+``training_step`` / ``_val_test_step_impl`` (``modules/detection.py:104-286``):
+
+  * the Python per-timestep loop becomes ``lax.scan`` (models/detector.py),
+  * the dynamic "collect features at labelled steps" list
+    (``BackboneFeatureSelector``, modules/utils/detection.py:24-45) becomes
+    a static top-K gather per batch lane with a validity mask,
+  * LSTM states are a pytree carried between calls and reset per lane via
+    ``is_first_sample`` (replaces the worker-keyed RNNStates registry),
+  * the TBPTT gradient cut (save_states_and_detach) is implicit: states
+    re-enter the next jit call as fresh device arrays,
+  * gradients average across the data-parallel mesh automatically (batch is
+    dp-sharded, params replicated; XLA inserts the psum).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rvt_tpu.config import ExperimentConfig
+from rvt_tpu.models.backbone import LstmStates, zero_states
+from rvt_tpu.models.detector import RVTDetector, scan_backbone
+from rvt_tpu.models.yolox import make_grids_and_strides
+from rvt_tpu.ops.boxes import postprocess
+from rvt_tpu.training.losses import yolox_loss
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+def head_grid(cfg: ExperimentConfig) -> Tuple[np.ndarray, np.ndarray]:
+    H, W = cfg.model.backbone.in_res_hw
+    strides = tuple(cfg.model.backbone.strides[s - 1]
+                    for s in cfg.model.fpn.in_stages)
+    hw = [(H // s, W // s) for s in strides]
+    grid, stride = make_grids_and_strides(hw, strides)
+    return grid, stride[:, 0]
+
+
+def reset_states(states: LstmStates, is_first_sample: Array) -> LstmStates:
+    """Zero the (h, c) of lanes whose stream restarted
+    (RNNStates.reset, modules/utils/detection.py:76-113)."""
+    def mask(x: Array) -> Array:
+        m = is_first_sample.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(x), x)
+    return jax.tree.map(mask, states)
+
+
+def gather_labeled_frames(feats: Tuple[Array, ...], frame_valid: Array,
+                          max_frames: int):
+    """Select up to K labelled frames per lane with static shapes.
+
+    feats: tuple of [T, B, h, w, c]; frame_valid: [B, T].
+    Returns (gathered feats tuple of [B*K, h, w, c], frame_idx [B, K],
+    gathered_valid [B, K]). Frames keep time order; excess labelled frames
+    beyond K are dropped (K is configured to cover the label cadence).
+    """
+    B, T = frame_valid.shape
+    K = max_frames
+    # stable argsort: invalid frames sort last, ties keep time order
+    order = jnp.argsort(jnp.where(frame_valid, 0, 1), axis=1, stable=True)
+    frame_idx = order[:, :K]  # [B, K]
+    gathered_valid = jnp.take_along_axis(frame_valid, frame_idx, axis=1)
+
+    def gather_one(f: Array) -> Array:
+        f = jnp.swapaxes(f, 0, 1)  # [B, T, h, w, c]
+        idx = frame_idx.reshape(B, K, 1, 1, 1)
+        g = jnp.take_along_axis(f, idx, axis=1)
+        return g.reshape((B * K,) + f.shape[2:])
+
+    return tuple(gather_one(f) for f in feats), frame_idx, gathered_valid
+
+
+def gather_labels(labels: Array, label_mask: Array, frame_idx: Array):
+    """labels: [B, T, M, 7] storage rows -> yolox targets [B*K, M, 5] +
+    mask. Conversion (cls, cx, cy, w, h) mirrors labels.py:341-355."""
+    B, T, M, _ = labels.shape
+    K = frame_idx.shape[1]
+    idx = frame_idx.reshape(B, K, 1, 1)
+    lab = jnp.take_along_axis(labels, idx, axis=1).reshape(B * K, M, 7)
+    mask = jnp.take_along_axis(label_mask, frame_idx.reshape(B, K, 1),
+                               axis=1).reshape(B * K, M)
+    cls = lab[..., 5]
+    cx = lab[..., 1] + 0.5 * lab[..., 3]
+    cy = lab[..., 2] + 0.5 * lab[..., 4]
+    yolox = jnp.stack([cls, cx, cy, lab[..., 3], lab[..., 4]], axis=-1)
+    return yolox, mask
+
+
+def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype) -> Array:
+    """Zero-pad bottom/right to the model resolution and convert dtype
+    (corner padding, utils/padding.py:28-53)."""
+    H, W = ev.shape[-3], ev.shape[-2]
+    ph, pw = target_hw[0] - H, target_hw[1] - W
+    assert ph >= 0 and pw >= 0
+    if ph or pw:
+        pad = [(0, 0)] * (ev.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        ev = jnp.pad(ev, pad)
+    return ev.astype(dtype)
+
+
+def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
+                    optimizer: optax.GradientTransformation,
+                    donate: bool = True):
+    grid_np, stride_np = head_grid(cfg)
+    grid = jnp.asarray(grid_np)
+    anchor_strides = jnp.asarray(stride_np)
+    num_classes = cfg.model.head.num_classes
+    K = cfg.dataset.max_labeled_frames
+    compute_dtype = (jnp.bfloat16 if cfg.training.precision == "bf16"
+                     else jnp.float32)
+    in_res = cfg.model.backbone.in_res_hw
+
+    def loss_fn(params, batch_stats, ev_seq, init_states, labels, label_mask,
+                frame_valid):
+        variables = {"params": params, "batch_stats": batch_stats}
+        # scan backbone over time; batch_stats are only used by FPN/head
+        # (the backbone has no BN), so the scan body is read-only on them.
+        feats, final_states = scan_backbone(
+            model, variables, ev_seq, init_states,
+            deterministic=False, remat=True)
+
+        gathered, frame_idx, gval = gather_labeled_frames(feats, frame_valid, K)
+        yolox_labels, yl_mask = gather_labels(labels, label_mask, frame_idx)
+
+        preds, mutated = model.apply(
+            variables, gathered, train=True,
+            method=RVTDetector.forward_detect,
+            mutable=["batch_stats"])
+
+        losses = yolox_loss(preds, yolox_labels, yl_mask,
+                            gval.reshape(-1), grid, anchor_strides,
+                            num_classes)
+        return losses["loss"], (mutated["batch_stats"], final_states, losses)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, lstm_states: LstmStates,
+                   ev_repr: Array, labels: Array, label_mask: Array,
+                   frame_valid: Array, is_first_sample: Array):
+        """One TBPTT window. ev_repr: [B, T, H, W, C] (storage resolution).
+
+        Returns (new_state, new_lstm_states, metrics).
+        """
+        lstm_states = reset_states(lstm_states, is_first_sample)
+        ev_seq = pad_ev_repr(ev_repr, in_res, compute_dtype)
+        ev_seq = jnp.swapaxes(ev_seq, 0, 1)  # [T, B, H, W, C]
+
+        init_states = jax.tree.map(lambda x: x.astype(compute_dtype),
+                                   lstm_states)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, final_states, losses)), grads = grad_fn(
+            state.params, state.batch_stats, ev_seq, init_states,
+            labels.astype(jnp.float32), label_mask, frame_valid)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt_state, step=state.step + 1)
+        final_states = jax.tree.map(lambda x: x.astype(jnp.float32),
+                                    final_states)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, final_states, metrics
+
+    return train_step
+
+
+def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
+                   dtype=jnp.float32):
+    """Streaming evaluation step: scan, gather labelled frames, detect,
+    on-device NMS. Mirrors _val_test_step_impl (modules/detection.py:208-280)
+    with stream-mode prediction collection."""
+    K = cfg.dataset.max_labeled_frames
+    pp = cfg.model.postprocess
+    num_classes = cfg.model.head.num_classes
+    in_res = cfg.model.backbone.in_res_hw
+
+    @jax.jit
+    def eval_step(variables, lstm_states: LstmStates, ev_repr: Array,
+                  frame_valid: Array, is_first_sample: Array):
+        lstm_states = reset_states(lstm_states, is_first_sample)
+        ev_seq = pad_ev_repr(ev_repr, in_res, dtype)
+        ev_seq = jnp.swapaxes(ev_seq, 0, 1)
+
+        feats, final_states = scan_backbone(model, variables, ev_seq,
+                                            lstm_states, deterministic=True,
+                                            remat=False)
+        gathered, frame_idx, gval = gather_labeled_frames(feats, frame_valid, K)
+        preds = model.apply(variables, gathered, train=False,
+                            method=RVTDetector.forward_detect)
+        infer = jnp.concatenate(
+            [preds[..., :4], jax.nn.sigmoid(preds[..., 4:])], axis=-1)
+        dets, det_valid = postprocess(
+            infer, num_classes, pp.confidence_threshold, pp.nms_threshold,
+            pp.pre_nms_topk, pp.max_detections)
+        B, Kk = frame_idx.shape
+        dets = dets.reshape(B, Kk, *dets.shape[1:])
+        det_valid = det_valid.reshape(B, Kk, -1) & gval[..., None]
+        return final_states, dets, det_valid, frame_idx, gval
+
+    return eval_step
+
+
+def init_train_state(model: RVTDetector, cfg: ExperimentConfig,
+                     optimizer: optax.GradientTransformation,
+                     rng: jax.Array) -> TrainState:
+    from rvt_tpu.models.detector import init_detector  # noqa
+
+    H, W = cfg.model.backbone.in_res_hw
+    x = jnp.zeros((1, H, W, cfg.model.backbone.input_channels), jnp.float32)
+    variables = model.init(rng, x, zero_states(cfg.model.backbone, 1))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))
