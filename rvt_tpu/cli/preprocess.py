@@ -1,0 +1,365 @@
+"""Offline preprocessing: raw Prophesee recordings -> training HDF5 format.
+
+Clean-room equivalent of the reference one-shot tool
+(``scripts/genx/preprocess_dataset.py``, 803 LoC): converts per-recording
+raw files (``*_bbox.npy`` structured labels + ``*_td.dat.h5`` events) into
+
+    <out>/<split>/<recording>/
+      event_representations_v2/<repr_name>/event_representations[_ds2_nearest].h5
+                                           objframe_idx_2_repr_idx.npy
+                                           timestamps_us.npy
+      labels_v2/labels.npz + timestamps_us.npy
+
+Pipeline stages (reference line refs in parentheses):
+  * label filtering: drop gen4 classes > 2 (263-271), crop to FOV (232-260),
+    Prophesee min-size or conservative filter (195-219), remove faulty
+    frame-wide boxes in train (222-229); sequences left without labels are
+    skipped (NoLabelsError, 71-73); 4 known-bad gen1 recordings ignored
+    (62-68),
+  * frame-cadence recovery: label frames at ~4 Hz gen1 / ~10 Hz gen4 with
+    2 ms jitter tolerance (340-432, 291-303); event-repr timestamps every
+    50 ms back to t = 0,
+  * per repr timestamp: slice events by duration or count (511-516), repair
+    event-time monotonicity with a running max (the numba loop at 163-172
+    is exactly np.maximum.accumulate), build the stacked histogram /
+    mixed-density stack, optionally 2x nearest-downsample with the int8
+    offset trick (467-477), append to HDF5 (written atomically via an
+    ``_in_progress`` rename, 492-534).
+
+Compression: gzip (blosc's hdf5 plugin is not available in this image; the
+reader supports whatever h5py can open).
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from multiprocessing import get_context
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+DATASET_HW = {"gen1": (240, 304), "gen4": (720, 1280)}
+
+# Recordings whose labels vanish entirely after filtering (known list).
+DIRS_TO_IGNORE = {
+    "gen1": ("17-04-06_09-57-37_6344500000_6404500000",
+             "17-04-13_19-17-27_976500000_1036500000",
+             "17-04-06_15-14-36_1159500000_1219500000",
+             "17-04-11_15-13-23_122500000_182500000"),
+    "gen4": (),
+}
+
+
+class NoLabelsError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Label filters
+# ---------------------------------------------------------------------------
+
+
+def filter_labels(labels: np.ndarray, dataset: str, split: str,
+                  apply_psee_bbox_filter: Optional[bool] = None,
+                  apply_faulty_bbox_filter: bool = True) -> np.ndarray:
+    """Apply the full reference filter chain (apply_filters, 275-289)."""
+    h, w = DATASET_HW[dataset]
+    if apply_psee_bbox_filter is None:
+        # reference configs: psee filter for test/val, conservative for train
+        apply_psee_bbox_filter = split in ("val", "test")
+
+    if dataset == "gen4":
+        labels = labels[labels["class_id"] <= 2]
+
+    # crop to FOV + drop flat boxes (232-260)
+    x0 = np.clip(labels["x"], 0, w - 1)
+    y0 = np.clip(labels["y"], 0, h - 1)
+    x1 = np.clip(labels["x"] + labels["w"], 0, w - 1)
+    y1 = np.clip(labels["y"] + labels["h"], 0, h - 1)
+    labels = labels.copy()
+    labels["x"], labels["y"] = x0, y0
+    labels["w"], labels["h"] = x1 - x0, y1 - y0
+    labels = labels[(labels["w"] > 0) & (labels["h"] > 0)]
+
+    if apply_psee_bbox_filter:  # (195-211)
+        min_diag = 60 if dataset == "gen4" else 30
+        min_side = 20 if dataset == "gen4" else 10
+        keep = ((labels["w"] ** 2 + labels["h"] ** 2 >= min_diag ** 2)
+                & (labels["w"] >= min_side) & (labels["h"] >= min_side))
+        labels = labels[keep]
+    else:  # conservative (213-219)
+        labels = labels[(labels["w"] >= 5) & (labels["h"] >= 5)]
+
+    if split == "train" and apply_faulty_bbox_filter:  # (222-229)
+        labels = labels[labels["w"] <= (9 * w) // 10]
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Frame cadence + repr timestamps
+# ---------------------------------------------------------------------------
+
+
+def base_label_delta_us(unique_ts_us: np.ndarray, dataset: str) -> int:
+    """(get_base_delta_ts_for_labels_us, 291-303)."""
+    if dataset == "gen1":
+        return 250_000  # 4 Hz
+    diff = np.diff(unique_ts_us)
+    median = np.median(diff)
+    hz = int(np.rint(1e6 / median))
+    assert hz in (30, 60), hz
+    return int(6 * median if hz == 60 else 3 * median)
+
+
+def recover_frame_cadence(labels: np.ndarray, dataset: str,
+                          align_t_ms: int = 100,
+                          ts_step_ev_repr_ms: int = 50):
+    """Recover the labelled-frame grid and the event-repr timestamp grid
+    (labels_and_ev_repr_timestamps, 340-432).
+
+    Returns (labels_per_frame, frame_ts_us, ev_repr_ts_us, frameidx2repridx).
+    """
+    ts_step_frame_ms = 100
+    assert ts_step_frame_ms % ts_step_ev_repr_ms == 0
+    align_t_us = align_t_ms * 1000
+    delta_t_us = ts_step_ev_repr_ms * 1000
+
+    if labels.size == 0:
+        raise NoLabelsError
+    unique_ts = np.unique(labels["t"].astype(np.int64))
+    base_delta = base_label_delta_us(unique_ts, dataset)
+
+    first = int(np.searchsorted(unique_ts, align_t_us, side="left"))
+    if first >= len(unique_ts):
+        raise NoLabelsError
+    frame_ts = [int(unique_ts[first])]
+    n_reprs_between: List[int] = []
+    for ts in unique_ts[first + 1:]:
+        ref = frame_ts[-1]
+        count = round((int(ts) - ref) / base_delta)
+        if abs((int(ts) - ref) - count * base_delta) <= 2000 and count > 0:
+            frame_ts.append(int(ts))
+            n_reprs_between.append(count * (ts_step_frame_ms // ts_step_ev_repr_ms))
+    frame_ts = np.asarray(frame_ts, np.int64)
+
+    starts = np.searchsorted(labels["t"], frame_ts, side="left")
+    ends = np.searchsorted(labels["t"], frame_ts, side="right")
+    labels_per_frame = [labels[s:e] for s, e in zip(starts, ends)]
+
+    # repr timestamps: every 50 ms back to t=0, then linspace between frames
+    ev_ts: List[int] = list(reversed(range(int(frame_ts[0]), 0, -delta_t_us)))[1:-1]
+    for idx, (n_between, t0, t1) in enumerate(zip(n_reprs_between,
+                                                  frame_ts[:-1], frame_ts[1:])):
+        edges = np.linspace(t0, t1, n_between + 1).astype(np.int64).tolist()
+        if idx != len(n_reprs_between) - 1:
+            edges = edges[:-1]
+        ev_ts.extend(edges)
+    if len(frame_ts) == 1:
+        ev_ts.append(int(frame_ts[0]))
+    ev_ts = np.asarray(ev_ts, np.int64)
+
+    frameidx2repridx = np.searchsorted(ev_ts, frame_ts, side="left")
+    for lab, fts, ridx in zip(labels_per_frame, frame_ts, frameidx2repridx):
+        assert lab["t"][0] == fts and fts == ev_ts[ridx]
+    return labels_per_frame, frame_ts, ev_ts, frameidx2repridx
+
+
+# ---------------------------------------------------------------------------
+# Voxelization (numpy host path; the on-device path is ops/voxelization.py)
+# ---------------------------------------------------------------------------
+
+
+def stacked_histogram_np(x, y, p, t, bins: int, height: int, width: int,
+                         count_cutoff: int = 255) -> np.ndarray:
+    """Numpy mirror of ops.voxelization.stacked_histogram."""
+    hist = np.zeros((2 * bins, height, width), np.int32)
+    if len(x) == 0:
+        return hist.astype(np.uint8)
+    t = t.astype(np.int64)
+    t_norm = (t - t[0]) / max(int(t[-1] - t[0]), 1)
+    t_idx = np.clip(np.floor(t_norm * bins).astype(np.int64), 0, bins - 1)
+    np.add.at(hist, (p * bins + t_idx, y, x), 1)
+    return np.minimum(hist, count_cutoff).astype(np.uint8)
+
+
+def nearest_exact_downsample2(x: np.ndarray) -> np.ndarray:
+    """2x 'nearest-exact' downsample [..., H, W] (int8 offset trick of the
+    reference, 467-477, is unnecessary in numpy)."""
+    H, W = x.shape[-2:]
+    ys = np.minimum(((np.arange(H // 2) + 0.5) * 2).astype(np.int64), H - 1)
+    xs = np.minimum(((np.arange(W // 2) + 0.5) * 2).astype(np.int64), W - 1)
+    return x[..., ys[:, None], xs[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# Raw event reading
+# ---------------------------------------------------------------------------
+
+
+class RawEventReader:
+    """Raw ``*_td.dat.h5`` reader with monotonic-time repair
+    (H5Reader, 116-188)."""
+
+    def __init__(self, path: Path, dataset: str):
+        assert h5py is not None
+        self.h5f = h5py.File(str(path), "r")
+        try:
+            self.height = int(self.h5f["events"]["height"][()])
+            self.width = int(self.h5f["events"]["width"][()])
+        except KeyError:
+            self.height, self.width = DATASET_HW[dataset]
+        self._time: Optional[np.ndarray] = None
+
+    @property
+    def time(self) -> np.ndarray:
+        if self._time is None:
+            t = np.asarray(self.h5f["events"]["t"], np.int64)
+            assert t[0] >= 0
+            self._time = np.maximum.accumulate(t)  # == numba loop 163-172
+        return self._time
+
+    def slice(self, start: int, end: int):
+        ev = self.h5f["events"]
+        return {
+            "x": np.asarray(ev["x"][start:end], np.int64),
+            "y": np.asarray(ev["y"][start:end], np.int64),
+            "p": np.clip(np.asarray(ev["p"][start:end], np.int64), 0, None),
+            "t": self.time[start:end],
+        }
+
+    def close(self):
+        self.h5f.close()
+
+
+# ---------------------------------------------------------------------------
+# Per-recording pipeline
+# ---------------------------------------------------------------------------
+
+
+def process_recording(npy_file: Path, h5_file: Path, out_dir: Path,
+                      dataset: str, split: str, bins: int = 10,
+                      ev_repr_delta_ts_ms: Optional[int] = 50,
+                      ev_repr_num_events: Optional[int] = None,
+                      downsample_by_2: bool = False,
+                      repr_name: Optional[str] = None) -> bool:
+    """Process one recording. Returns False if skipped (no labels left)."""
+    if repr_name is None:
+        repr_name = f"stacked_histogram_dt={ev_repr_delta_ts_ms}_nbins={bins}"
+    labels = np.load(str(npy_file))
+    labels = filter_labels(labels, dataset, split)
+    try:
+        labels_per_frame, frame_ts, ev_ts, frameidx2repridx = \
+            recover_frame_cadence(labels, dataset)
+    except NoLabelsError:
+        return False
+
+    labels_dir = out_dir / "labels_v2"
+    labels_dir.mkdir(parents=True, exist_ok=True)
+    offsets, flat = [], []
+    start = 0
+    for lab in labels_per_frame:
+        offsets.append(start)
+        flat.append(lab)
+        start += len(lab)
+    np.savez(str(labels_dir / "labels.npz"), labels=np.concatenate(flat),
+             objframe_idx_2_label_idx=np.asarray(offsets, np.int64))
+    np.save(str(labels_dir / "timestamps_us.npy"), frame_ts)
+
+    repr_dir = out_dir / "event_representations_v2" / repr_name
+    repr_dir.mkdir(parents=True, exist_ok=True)
+    np.save(str(repr_dir / "objframe_idx_2_repr_idx.npy"), frameidx2repridx)
+    np.save(str(repr_dir / "timestamps_us.npy"), ev_ts)
+
+    suffix = "_ds2_nearest" if downsample_by_2 else ""
+    outfile = repr_dir / f"event_representations{suffix}.h5"
+    if outfile.exists():
+        return True
+    in_progress = outfile.parent / (outfile.stem + "_in_progress.h5")
+    if in_progress.exists():
+        os.remove(in_progress)
+
+    reader = RawEventReader(h5_file, dataset)
+    H, W = reader.height, reader.width
+    oh, ow = (H // 2, W // 2) if downsample_by_2 else (H, W)
+    ends = np.searchsorted(reader.time, ev_ts, side="right")
+    if ev_repr_num_events is not None:
+        starts = np.maximum(ends - ev_repr_num_events, 0)
+    else:
+        starts = np.searchsorted(reader.time,
+                                 ev_ts - ev_repr_delta_ts_ms * 1000, side="left")
+
+    with h5py.File(str(in_progress), "w") as h5out:
+        ds = h5out.create_dataset(
+            "data", shape=(len(ev_ts), 2 * bins, oh, ow), dtype="uint8",
+            chunks=(1, 2 * bins, oh, ow), compression="gzip",
+            compression_opts=1, shuffle=True)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            ev = reader.slice(int(s), int(e))
+            rep = stacked_histogram_np(ev["x"], ev["y"], ev["p"], ev["t"],
+                                       bins, H, W)
+            if downsample_by_2:
+                rep = nearest_exact_downsample2(rep)
+            ds[i] = rep
+    reader.close()
+    os.rename(in_progress, outfile)
+    return True
+
+
+def _find_pairs(in_dir: Path) -> List[Tuple[Path, Path, str]]:
+    """(npy label file, raw event h5, recording name) triples."""
+    pairs = []
+    for npy in sorted(in_dir.rglob("*_bbox.npy")):
+        stem = npy.name[: -len("_bbox.npy")]
+        h5 = npy.parent / f"{stem}_td.dat.h5"
+        if h5.exists():
+            pairs.append((npy, h5, stem))
+    return pairs
+
+
+def _worker(args):
+    npy, h5, name, out_root, dataset, split, downsample = args
+    try:
+        ok = process_recording(npy, h5, out_root / name, dataset, split,
+                               downsample_by_2=downsample)
+        return name, ok, None
+    except Exception as e:  # pragma: no cover
+        return name, False, repr(e)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_dir", type=Path, required=True,
+                    help="raw download dir containing <split>/ subdirs")
+    ap.add_argument("--output_dir", type=Path, required=True)
+    ap.add_argument("--dataset", choices=["gen1", "gen4"], required=True)
+    ap.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    ap.add_argument("--downsample_by_2", action="store_true")
+    ap.add_argument("--num_processes", type=int, default=1)
+    args = ap.parse_args()
+
+    jobs = []
+    for split in args.splits:
+        for npy, h5, name in _find_pairs(args.input_dir / split):
+            if name in DIRS_TO_IGNORE[args.dataset]:
+                continue
+            jobs.append((npy, h5, name, args.output_dir / split,
+                         args.dataset, split, args.downsample_by_2))
+    if args.num_processes > 1:
+        with get_context("spawn").Pool(args.num_processes) as pool:
+            results = pool.map(_worker, jobs)
+    else:
+        results = [_worker(j) for j in jobs]
+    for name, ok, err in results:
+        status = "ok" if ok else ("SKIPPED (no labels)" if err is None else f"ERROR {err}")
+        print(f"{name}: {status}")
+
+
+if __name__ == "__main__":
+    main()

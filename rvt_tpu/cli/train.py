@@ -1,0 +1,101 @@
+"""Training CLI.
+
+Equivalent of the reference ``train.py`` (hydra main, train.py:32-142) with
+argparse + dataclass presets instead of hydra composition:
+
+    python -m rvt_tpu.cli.train --dataset gen1 --size tiny \
+        --data_dir /data/gen1 --ckpt_dir runs/gen1_tiny
+
+Mixed train sampling (stream + random lanes, modules/data/genx.py:116-140)
+is selected with --sampling mixed; validation runs every --val_every steps
+on the val split.
+"""
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+
+def build_streams(data_dir: Path, split: str, cfg, train: bool):
+    from rvt_tpu.data.sequence import Recording, StreamView
+
+    split_dir = data_dir / split
+    assert split_dir.is_dir(), split_dir
+    streams = []
+    for rec_dir in sorted(p for p in split_dir.iterdir() if p.is_dir()):
+        rec = Recording(rec_dir, cfg.dataset.ev_repr_name,
+                        original_hw=cfg.dataset.resolution_hw,
+                        downsample_by_factor_2=cfg.dataset.downsample_by_factor_2,
+                        max_labels_per_frame=cfg.dataset.max_labels_per_frame)
+        if train:
+            streams.extend(StreamView.with_guaranteed_labels(
+                rec, cfg.dataset.sequence_length))
+        else:
+            streams.append(StreamView(rec, cfg.dataset.sequence_length))
+    return streams
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["gen1", "gen4"], required=True)
+    ap.add_argument("--size", choices=["tiny", "small", "base"], default="tiny")
+    ap.add_argument("--data_dir", type=Path, required=True)
+    ap.add_argument("--ckpt_dir", type=Path, default=Path("runs/default"))
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--val_every", type=int, default=None)
+    ap.add_argument("--log_every", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dp_size", type=int, default=-1)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init_ckpt", type=Path, default=None,
+                    help="torch .ckpt or orbax dir for weights-only init")
+    args = ap.parse_args()
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.data.augmentor import SpatialAugmentor
+    from rvt_tpu.data.streaming import EvalStreamScheduler, TrainStreamScheduler
+    from rvt_tpu.training.evaluator_loop import run_streaming_eval
+    from rvt_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = preset(args.dataset, args.size)
+    if args.batch_size:
+        from dataclasses import replace
+        cfg = replace(cfg, batch_size=replace(cfg.batch_size,
+                                              train=args.batch_size,
+                                              eval=args.batch_size))
+    tcfg = TrainerConfig(
+        max_steps=args.max_steps or cfg.training.max_steps,
+        log_every_n_steps=args.log_every,
+        val_every_n_steps=args.val_every,
+        ckpt_dir=str(args.ckpt_dir),
+    )
+
+    trainer = Trainer(cfg, tcfg, seed=args.seed, dp_size=args.dp_size)
+    if args.resume:
+        assert trainer.restore(), "no checkpoint to resume from"
+    elif args.init_ckpt is not None:
+        from rvt_tpu.convert.torch_ckpt import load_torch_checkpoint
+        trainer.load_weights(load_torch_checkpoint(str(args.init_ckpt)))
+
+    train_streams = build_streams(args.data_dir, "train", cfg, train=True)
+    augment = SpatialAugmentor.for_mode(cfg.dataset, "stream")
+    scheduler = TrainStreamScheduler(train_streams, cfg.batch_size.train,
+                                     seed=args.seed, augment_fn=augment)
+
+    eval_fn = None
+    if args.val_every:
+        val_streams = build_streams(args.data_dir, "val", cfg, train=False)
+
+        def eval_fn(variables):
+            sched = EvalStreamScheduler(val_streams, cfg.batch_size.eval)
+            return run_streaming_eval(trainer.model, variables, cfg,
+                                      iter(sched), cfg.batch_size.eval)
+
+    metrics = trainer.fit(iter(scheduler), eval_fn=eval_fn)
+    print({k: round(v, 5) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Validation/test CLI.
+
+Equivalent of the reference ``validation.py`` (validation.py:28-90): load a
+checkpoint (converted torch .ckpt or orbax), run streaming evaluation over
+the val or test split, print Prophesee COCO metrics.
+
+    python -m rvt_tpu.cli.validate --dataset gen1 --size tiny \
+        --data_dir /data/gen1 --checkpoint rvt-t.ckpt --use_test_set
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["gen1", "gen4"], required=True)
+    ap.add_argument("--size", choices=["tiny", "small", "base"], default="tiny")
+    ap.add_argument("--data_dir", type=Path, required=True)
+    ap.add_argument("--checkpoint", type=Path, required=True)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--use_test_set", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from rvt_tpu.cli.train import build_streams
+    from rvt_tpu.config import preset
+    from rvt_tpu.convert.torch_ckpt import load_torch_checkpoint
+    from rvt_tpu.data.streaming import EvalStreamScheduler
+    from rvt_tpu.models import RVTDetector, init_detector
+    from rvt_tpu.training.evaluator_loop import run_streaming_eval
+
+    cfg = preset(args.dataset, args.size)
+    model = RVTDetector(cfg=cfg.model)
+
+    if str(args.checkpoint).endswith(".ckpt") or str(args.checkpoint).endswith(".pt"):
+        variables = load_torch_checkpoint(str(args.checkpoint))
+    else:  # orbax TrainState directory
+        from rvt_tpu.training import init_train_state, make_optimizer
+        from rvt_tpu.utils.checkpoint import CheckpointManager
+
+        optimizer = make_optimizer(cfg.training)
+        template = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+        state = CheckpointManager(args.checkpoint).restore(template)
+        assert state is not None, f"no checkpoint at {args.checkpoint}"
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    split = "test" if args.use_test_set else "val"
+    streams = build_streams(args.data_dir, split, cfg, train=False)
+    sched = EvalStreamScheduler(streams, args.batch_size)
+    metrics = run_streaming_eval(model, variables, cfg, iter(sched),
+                                 args.batch_size)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()

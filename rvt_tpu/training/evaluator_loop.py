@@ -1,0 +1,69 @@
+"""Streaming evaluation loop: datasets -> batches -> jitted eval step ->
+Prophesee COCO metrics.
+
+Equivalent of ``validation.py`` + ``Module._val_test_step_impl`` +
+``Module.run_psee_evaluator`` (modules/detection.py:208-338): runs the
+recurrent model over every recording with carried LSTM state, collects
+detections at labelled frames, and evaluates with the Prophesee protocol.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from rvt_tpu.config import ExperimentConfig
+from rvt_tpu.data.types import Batch
+from rvt_tpu.evaluation.prophesee import (PropheseeEvaluator,
+                                          detections_to_structured,
+                                          labels_to_structured)
+from rvt_tpu.models.backbone import zero_states
+from rvt_tpu.models.detector import RVTDetector
+from rvt_tpu.training.step import make_eval_step
+
+
+def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
+                       batches: Iterable[Batch],
+                       batch_size: int) -> Optional[Dict[str, float]]:
+    """Evaluate over an iterable of stream batches (all same batch size).
+
+    Returns the Prophesee COCO metrics dict or None if no labels were seen.
+    """
+    eval_step = make_eval_step(model, cfg)
+    evaluator = PropheseeEvaluator(cfg.dataset.name,
+                                   cfg.dataset.downsample_by_factor_2)
+    states = zero_states(cfg.model.backbone, batch_size)
+
+    for batch in batches:
+        assert batch.batch_size == batch_size
+        states, dets, det_valid, frame_idx, gval = eval_step(
+            variables, states,
+            batch.ev_repr, batch.frame_valid, batch.is_first_sample)
+        dets = np.asarray(dets)
+        det_valid = np.asarray(det_valid)
+        frame_idx = np.asarray(frame_idx)
+        gval = np.asarray(gval)
+
+        gt_list, pred_list = [], []
+        for b in range(batch_size):
+            for k in range(frame_idx.shape[1]):
+                if not gval[b, k]:
+                    continue
+                t_step = int(frame_idx[b, k])
+                mask = batch.label_mask[b, t_step]
+                labels = batch.labels[b, t_step][mask]
+                if len(labels) == 0:
+                    continue
+                time_us = int(labels[0, 0])
+                gt_list.append(labels_to_structured(labels))
+                pred_list.append(detections_to_structured(
+                    dets[b, k], det_valid[b, k], time_us))
+        if gt_list:
+            evaluator.add_labels(gt_list)
+            evaluator.add_predictions(pred_list)
+
+    if not evaluator.has_data():
+        return None
+    h, w = cfg.dataset.dataloading_hw
+    return evaluator.evaluate_buffer(img_height=h, img_width=w)

@@ -121,8 +121,10 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
     anchor_strides = jnp.asarray(stride_np)
     num_classes = cfg.model.head.num_classes
     K = cfg.dataset.max_labeled_frames
-    compute_dtype = (jnp.bfloat16 if cfg.training.precision == "bf16"
-                     else jnp.float32)
+    # NOTE: full bf16 mixed precision requires threading a compute dtype
+    # through the flax modules (params stay f32); until then the train step
+    # runs f32 end-to-end regardless of cfg.training.precision.
+    compute_dtype = jnp.float32
     in_res = cfg.model.backbone.in_res_hw
 
     def loss_fn(params, batch_stats, ev_seq, init_states, labels, label_mask,

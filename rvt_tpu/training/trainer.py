@@ -1,0 +1,132 @@
+"""Training orchestration: stream scheduling, TBPTT steps, metrics,
+checkpoint/resume, periodic validation.
+
+Equivalent of the reference's PyTorch-Lightning stack (``train.py`` +
+``modules/detection.py`` + callbacks): here it is a plain loop around one
+jitted train step — the TPU-idiomatic shape (no framework callbacks on the
+hot path; everything that matters is inside the compiled step).
+
+Checkpointing uses orbax (replaces W&B artifact upload/resume,
+loggers/wandb_logger.py:77-87); metrics go to a JSONL metrics logger and
+optionally TensorBoard (rvt_tpu/utils/logging.py).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from rvt_tpu.config import ExperimentConfig
+from rvt_tpu.data.types import Batch
+from rvt_tpu.models.backbone import zero_states
+from rvt_tpu.models.detector import RVTDetector
+from rvt_tpu.parallel.mesh import (make_mesh, replicate_tree,
+                                   shard_batch_arrays, shard_states)
+from rvt_tpu.training.optimizer import make_optimizer
+from rvt_tpu.training.step import (TrainState, init_train_state,
+                                   make_train_step)
+from rvt_tpu.utils.checkpoint import CheckpointManager
+from rvt_tpu.utils.logging import MetricsLogger
+
+
+@dataclass
+class TrainerConfig:
+    max_steps: int = 400_000
+    log_every_n_steps: int = 500
+    ckpt_every_n_steps: int = 10_000
+    val_every_n_steps: Optional[int] = None
+    ckpt_dir: str = "checkpoints"
+    monitor: str = "AP"  # checkpoint selection metric (val/AP, callbacks/custom.py:8-31)
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, trainer_cfg: TrainerConfig,
+                 model: Optional[RVTDetector] = None, seed: int = 0,
+                 dp_size: int = -1):
+        self.cfg = cfg
+        self.tcfg = trainer_cfg
+        self.model = model or RVTDetector(cfg=cfg.model)
+        self.optimizer = make_optimizer(cfg.training)
+        self.mesh = make_mesh(dp_size)
+        self.state = init_train_state(self.model, cfg, self.optimizer,
+                                      jax.random.PRNGKey(seed))
+        self.state = replicate_tree(self.mesh, self.state)
+        self.train_step = make_train_step(self.model, cfg, self.optimizer)
+        self.ckpt = CheckpointManager(Path(trainer_cfg.ckpt_dir),
+                                      monitor=trainer_cfg.monitor)
+        self.logger = MetricsLogger(Path(trainer_cfg.ckpt_dir) / "metrics.jsonl")
+        self._lstm_states = None
+
+    # -- checkpoint/resume ----------------------------------------------------
+
+    def restore(self, step: Optional[int] = None) -> bool:
+        restored = self.ckpt.restore(self.state, step)
+        if restored is None:
+            return False
+        self.state = replicate_tree(self.mesh, restored)
+        return True
+
+    def load_weights(self, variables: Dict) -> None:
+        """Weights-only init (reference resume_only_weights, train.py:79-89)."""
+        self.state = self.state._replace(
+            params=replicate_tree(self.mesh, variables["params"]),
+            batch_stats=replicate_tree(self.mesh,
+                                       variables.get("batch_stats", {})))
+
+    # -- training loop ----------------------------------------------------------
+
+    def fit(self, batches: Iterable[Batch],
+            eval_fn: Optional[Callable[[Dict], Optional[Dict[str, float]]]] = None
+            ) -> Dict[str, float]:
+        """Run up to max_steps TBPTT windows. ``eval_fn(variables)`` is
+        called every val_every_n_steps and must return metrics (incl. the
+        monitored key) or None."""
+        cfg = self.cfg
+        last_metrics: Dict[str, float] = {}
+        t_start = time.perf_counter()
+        frames_done = 0
+
+        for batch in batches:
+            step_idx = int(jax.device_get(self.state.step))
+            if step_idx >= self.tcfg.max_steps:
+                break
+            if self._lstm_states is None:
+                self._lstm_states = shard_states(
+                    self.mesh, zero_states(cfg.model.backbone, batch.batch_size))
+
+            ev, labels, label_mask, frame_valid, is_first = shard_batch_arrays(
+                self.mesh, batch.ev_repr, batch.labels, batch.label_mask,
+                batch.frame_valid, batch.is_first_sample)
+            self.state, self._lstm_states, metrics = self.train_step(
+                self.state, self._lstm_states, ev, labels, label_mask,
+                frame_valid, is_first)
+            frames_done += batch.batch_size * batch.seq_len
+
+            if (step_idx + 1) % self.tcfg.log_every_n_steps == 0:
+                metrics = {k: float(jax.device_get(v))
+                           for k, v in metrics.items()}
+                dt = time.perf_counter() - t_start
+                metrics["train/frames_per_s"] = frames_done / max(dt, 1e-9)
+                last_metrics = metrics
+                self.logger.log(step_idx + 1,
+                                {f"train/{k}" if not k.startswith("train/")
+                                 else k: v for k, v in metrics.items()})
+
+            if (step_idx + 1) % self.tcfg.ckpt_every_n_steps == 0:
+                self.ckpt.save(jax.device_get(self.state), step_idx + 1)
+
+            if (eval_fn is not None and self.tcfg.val_every_n_steps and
+                    (step_idx + 1) % self.tcfg.val_every_n_steps == 0):
+                variables = {"params": jax.device_get(self.state.params),
+                             "batch_stats": jax.device_get(self.state.batch_stats)}
+                val_metrics = eval_fn(variables)
+                if val_metrics:
+                    self.logger.log(step_idx + 1,
+                                    {f"val/{k}": v for k, v in val_metrics.items()})
+                    self.ckpt.save(jax.device_get(self.state), step_idx + 1,
+                                   metric=val_metrics.get(self.tcfg.monitor))
+        return last_metrics

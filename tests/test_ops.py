@@ -1,0 +1,170 @@
+"""Unit tests for on-device ops: NMS semantics, voxelization vs the
+reference torch representations, box conversions."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rvt_tpu.ops.boxes import (cxcywh_to_xyxy, pairwise_iou_xyxy, postprocess,
+                               xyxy_to_cxcywh)
+from rvt_tpu.ops.voxelization import (mixed_density_stack,
+                                      repair_time_monotonicity,
+                                      stacked_histogram)
+
+
+# ---------------------------------------------------------------------------
+# NMS
+# ---------------------------------------------------------------------------
+
+
+def _numpy_batched_nms(boxes, scores, classes, iou_thr):
+    """Oracle: torchvision batched_nms semantics (greedy, score order,
+    suppress IoU > thr within same class)."""
+    order = np.argsort(-scores, kind="mergesort")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            if classes[j] != classes[i]:
+                continue
+            # IoU
+            x1 = max(boxes[i, 0], boxes[j, 0]); y1 = max(boxes[i, 1], boxes[j, 1])
+            x2 = min(boxes[i, 2], boxes[j, 2]); y2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, x2 - x1) * max(0, y2 - y1)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            iou = inter / (a + b - inter) if a + b - inter > 0 else 0.0
+            # only later-ranked boxes can be suppressed
+            if iou > iou_thr and scores[j] <= scores[i]:
+                if list(order).index(j) > list(order).index(i):
+                    suppressed[j] = True
+    return keep
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_postprocess_matches_numpy_oracle(seed):
+    rng = np.random.RandomState(seed)
+    A, C = 120, 2
+    # clustered boxes to force suppressions
+    centers = rng.uniform(40, 260, size=(A, 2))
+    centers[:60] = centers[:1] + rng.normal(0, 6, size=(60, 2))
+    wh = rng.uniform(20, 60, size=(A, 2))
+    obj = rng.uniform(0, 1, size=A)
+    cls = rng.uniform(0, 1, size=(A, C))
+    preds = np.concatenate([centers, wh, obj[:, None], cls], axis=1).astype(np.float32)
+
+    dets, valid = postprocess(jnp.asarray(preds[None]), C, conf_thre=0.1,
+                              nms_thre=0.45, pre_nms_topk=128,
+                              max_detections=64)
+    dets, valid = np.asarray(dets[0]), np.asarray(valid[0])
+
+    # numpy oracle on the same candidate set
+    boxes = np.asarray(cxcywh_to_xyxy(jnp.asarray(preds[:, :4])))
+    class_conf = cls.max(1)
+    class_id = cls.argmax(1)
+    score = obj * class_conf
+    sel = score >= 0.1
+    idx = np.flatnonzero(sel)
+    keep = _numpy_batched_nms(boxes[idx], score[idx], class_id[idx], 0.45)
+    kept = idx[keep]
+    order = np.argsort(-score[kept], kind="mergesort")
+    kept = kept[order][:64]
+
+    n = valid.sum()
+    assert n == len(kept), (n, len(kept))
+    np.testing.assert_allclose(dets[:n, :4], boxes[kept], rtol=1e-5)
+    np.testing.assert_allclose(dets[:n, 4], obj[kept], rtol=1e-5)
+    np.testing.assert_allclose(dets[:n, 6], class_id[kept])
+
+
+def test_box_conversions_roundtrip():
+    rng = np.random.RandomState(0)
+    b = rng.uniform(0, 100, size=(16, 4)).astype(np.float32)
+    b[:, 2:] += 1.0
+    out = np.asarray(xyxy_to_cxcywh(cxcywh_to_xyxy(jnp.asarray(b))))
+    np.testing.assert_allclose(out, b, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Voxelization vs reference torch representations
+# ---------------------------------------------------------------------------
+
+
+def _random_events(rng, n, H, W, t_max=50000):
+    x = rng.randint(0, W, n)
+    y = rng.randint(0, H, n)
+    p = rng.randint(0, 2, n)
+    t = np.sort(rng.randint(0, t_max, n))
+    return x, y, p, t
+
+
+def test_stacked_histogram_matches_reference():
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from data.utils.representations import StackedHistogram
+
+    rng = np.random.RandomState(0)
+    H, W, bins = 24, 32, 10
+    x, y, p, t = _random_events(rng, 5000, H, W)
+
+    ref = StackedHistogram(bins=bins, height=H, width=W)
+    expected = ref.construct(torch.from_numpy(x), torch.from_numpy(y),
+                             torch.from_numpy(p), torch.from_numpy(t)).numpy()
+
+    N = 8192  # padded static size
+    pad = lambda a: np.pad(a, (0, N - len(a)))
+    got = np.asarray(stacked_histogram(
+        jnp.asarray(pad(x)), jnp.asarray(pad(y)), jnp.asarray(pad(p)),
+        jnp.asarray(pad(t)), jnp.asarray(len(x)), bins, H, W))
+    expected = expected.reshape(2 * bins, H, W)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_mixed_density_stack_matches_reference():
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from data.utils.representations import MixedDensityEventStack
+
+    rng = np.random.RandomState(1)
+    H, W, bins = 24, 32, 10
+    x, y, p, t = _random_events(rng, 4000, H, W)
+
+    ref = MixedDensityEventStack(bins=bins, height=H, width=W, count_cutoff=100)
+    expected = ref.construct(torch.from_numpy(x), torch.from_numpy(y),
+                             torch.from_numpy(p), torch.from_numpy(t)).numpy()
+
+    N = 4096
+    pad = lambda a: np.pad(a, (0, N - len(a)))
+    got = np.asarray(mixed_density_stack(
+        jnp.asarray(pad(x)), jnp.asarray(pad(y)), jnp.asarray(pad(p)),
+        jnp.asarray(pad(t)), jnp.asarray(len(x)), bins, H, W,
+        count_cutoff=100))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_empty_event_window():
+    z = jnp.zeros((128,), jnp.int32)
+    got = np.asarray(stacked_histogram(z, z, z, z, jnp.asarray(0), 10, 8, 16))
+    assert got.shape == (20, 8, 16)
+    assert got.sum() == 0
+
+
+def test_repair_time_monotonicity():
+    t = jnp.asarray(np.array([0, 5, 3, 7, 6, 6, 10]))
+    out = np.asarray(repair_time_monotonicity(t))
+    np.testing.assert_array_equal(out, [0, 5, 5, 7, 7, 7, 10])
+
+
+def test_pairwise_iou():
+    a = jnp.asarray([[0.0, 0, 10, 10]])
+    b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = np.asarray(pairwise_iou_xyxy(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-6)
