@@ -178,7 +178,15 @@ def recover_frame_cadence(labels: np.ndarray, dataset: str,
 
 def stacked_histogram_np(x, y, p, t, bins: int, height: int, width: int,
                          count_cutoff: int = 255) -> np.ndarray:
-    """Numpy mirror of ops.voxelization.stacked_histogram."""
+    """Numpy mirror of ops.voxelization.stacked_histogram; dispatches to the
+    native C++ voxelizer (native/rvt_native.cpp) when available."""
+    if len(x):
+        from rvt_tpu import native_lib
+
+        native = native_lib.stacked_histogram_u8(x, y, p, t, bins, height,
+                                                 width, count_cutoff)
+        if native is not None:
+            return native
     hist = np.zeros((2 * bins, height, width), np.int32)
     if len(x) == 0:
         return hist.astype(np.uint8)

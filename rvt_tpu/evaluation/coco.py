@@ -75,6 +75,21 @@ def _evaluate_img(dt_boxes: np.ndarray, dt_scores: np.ndarray,
     ious = iou_xywh(dt_boxes, gt_boxes)
     D, G = ious.shape
     T = len(IOU_THRS)
+
+    dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if D else np.zeros(0)
+    dt_out_of_range = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+    num_gt = int((~gt_ignore).sum())
+
+    # fast path: native greedy matcher (C++ equivalent of detectron2's
+    # COCOeval_opt; see native/rvt_native.cpp)
+    from rvt_tpu import native_lib
+
+    native = native_lib.coco_match_image(ious, gt_ignore, IOU_THRS,
+                                         dt_out_of_range) if D else None
+    if native is not None:
+        matched, ignored = native
+        return matched, ignored, dt_scores, num_gt
+
     dt_m = np.full((T, D), -1, np.int64)
     gt_m = np.full((T, G), -1, np.int64)
     for ti, t in enumerate(IOU_THRS):
@@ -96,8 +111,6 @@ def _evaluate_img(dt_boxes: np.ndarray, dt_scores: np.ndarray,
                 dt_m[ti, d] = best_g
                 gt_m[ti, best_g] = d
 
-    dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if D else np.zeros(0)
-    dt_out_of_range = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
     dt_ig = np.zeros((T, D), bool)
     for ti in range(T):
         matched = dt_m[ti] >= 0
@@ -105,7 +118,6 @@ def _evaluate_img(dt_boxes: np.ndarray, dt_scores: np.ndarray,
         matched_ignored[matched] = gt_ignore[dt_m[ti, matched]]
         dt_ig[ti] = np.where(matched, matched_ignored,
                              dt_out_of_range)
-    num_gt = int((~gt_ignore).sum())
     return dt_m >= 0, dt_ig, dt_scores, num_gt
 
 

@@ -141,11 +141,13 @@ def _histogram_kernel(nev_ref, flat_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("bins", "height", "width",
-                                             "count_cutoff", "chunk"))
+                                             "count_cutoff", "chunk",
+                                             "interpret"))
 def stacked_histogram_pallas(x: Array, y: Array, pol: Array, t: Array,
                              num_events: Array, bins: int, height: int,
                              width: int, count_cutoff: int = 255,
-                             chunk: int = 8192) -> Array:
+                             chunk: int = 8192,
+                             interpret: bool = False) -> Array:
     """Pallas TPU scatter-add voxelizer (same semantics as
     ``stacked_histogram``). The histogram stays in VMEM for the whole event
     stream; rows are the 2*bins channels, columns the H*W cells padded to a
@@ -173,6 +175,7 @@ def stacked_histogram_pallas(x: Array, y: Array, pol: Array, t: Array,
         out_specs=pl.BlockSpec((2 * bins, hw_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2 * bins, hw_pad), jnp.int32),
+        interpret=interpret,
     )(num_events.reshape(1).astype(jnp.int32), flat)
     hist = jnp.minimum(hist[:, :hw], count_cutoff).astype(jnp.uint8)
     return hist.reshape(2 * bins, height, width)

@@ -168,3 +168,25 @@ def test_pairwise_iou():
     b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
     iou = np.asarray(pairwise_iou_xyxy(a, b))[0]
     np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-6)
+
+
+def test_stacked_histogram_pallas_interpret_matches_jax():
+    """Pallas voxelizer (interpret mode on CPU) == XLA scatter version."""
+    import jax.numpy as jnp
+
+    from rvt_tpu.ops.voxelization import (stacked_histogram,
+                                          stacked_histogram_pallas)
+
+    rng = np.random.RandomState(2)
+    H, W, bins, n = 16, 24, 4, 3000
+    N = 4096
+    x = rng.randint(0, W, n)
+    y = rng.randint(0, H, n)
+    p = rng.randint(0, 2, n)
+    t = np.sort(rng.randint(0, 50000, n))
+    pad = lambda a: jnp.asarray(np.pad(a, (0, N - n)))
+    args = (pad(x), pad(y), pad(p), pad(t), jnp.asarray(n), bins, H, W)
+    ref = np.asarray(stacked_histogram(*args))
+    got = np.asarray(stacked_histogram_pallas(*args, chunk=1024,
+                                              interpret=True))
+    np.testing.assert_array_equal(got, ref)

@@ -63,10 +63,17 @@ def test_train_step_runs_and_updates(setup):
     assert h_sum > 0
 
 
-def test_overfit_single_batch(setup):
+def test_overfit_single_batch():
     """Loss must drop substantially when repeating one batch (end-to-end
-    learning signal through scan + SimOTA + AdamW)."""
-    cfg, model, optimizer, state, step = setup
+    learning signal through scan + SimOTA + AdamW). Uses a constant LR —
+    the production OneCycle schedule is still ~max_lr/20 at step 12."""
+    import optax
+
+    cfg = _tiny_cfg()
+    model = RVTDetector(cfg=cfg.model)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    state = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, optimizer, donate=False)
     B = 2
     ev, labels, mask, fv = _batch(cfg, B, seed=1)
     zero = zero_states(cfg.model.backbone, B)
