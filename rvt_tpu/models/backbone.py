@@ -41,6 +41,7 @@ class RVTStage(nn.Module):
     num_blocks: int
     enable_token_masking: bool
     cfg: BackboneConfig
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, h_c: LstmState,
@@ -48,7 +49,8 @@ class RVTStage(nn.Module):
                  deterministic: bool = True) -> Tuple[Array, LstmState]:
         x = ConvDownsample(dim_out=self.dim_out,
                            downsample_factor=self.downsample_factor,
-                           cfg=self.cfg.downsample, name="downsample")(x)
+                           cfg=self.cfg.downsample, dtype=self.dtype,
+                           name="downsample")(x)
         if self.enable_token_masking:
             mask_token = self.param("mask_token", nn.initializers.normal(stddev=0.02),
                                     (1, 1, 1, self.dim_out))
@@ -59,10 +61,11 @@ class RVTStage(nn.Module):
             # First block skips norm1 because the downsample output is
             # already layer-normed (maxvit_rnn.py:153).
             x = MaxVitAttentionPair(dim=self.dim_out, cfg=self.cfg.attention,
-                                    skip_first_norm=(i == 0),
+                                    skip_first_norm=(i == 0), dtype=self.dtype,
                                     name=f"block{i}")(x, deterministic)
         h, c = DWSConvLSTM2d(dim=self.dim_out, cfg=self.cfg.lstm,
-                             name="lstm")(x, h_c, deterministic)
+                             dtype=self.dtype, name="lstm")(x, h_c,
+                                                            deterministic)
         return h, (h, c)
 
 
@@ -70,6 +73,7 @@ class RVTBackbone(nn.Module):
     """4-stage recurrent backbone; one timestep per call."""
 
     cfg: BackboneConfig
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         cfg = self.cfg
@@ -82,6 +86,7 @@ class RVTBackbone(nn.Module):
                 num_blocks=cfg.num_blocks[idx],
                 enable_token_masking=cfg.enable_masking and idx == 0,
                 cfg=cfg,
+                dtype=self.dtype,
                 name=f"stage{idx + 1}",
             ))
         self.stages = stages

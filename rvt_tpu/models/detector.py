@@ -27,13 +27,15 @@ class RVTDetector(nn.Module):
 
     def setup(self):
         bb = self.cfg.backbone
-        self.backbone = RVTBackbone(cfg=bb, name="backbone")
+        dtype = {"float32": None, "bfloat16": jnp.bfloat16}[self.cfg.compute_dtype]
+        self.backbone = RVTBackbone(cfg=bb, dtype=dtype, name="backbone")
         in_stages = self.cfg.fpn.in_stages
         in_channels = tuple(bb.stage_dims[s - 1] for s in in_stages)
         strides = tuple(bb.strides[s - 1] for s in in_stages)
-        self.fpn = YoloPAFPN(cfg=self.cfg.fpn, in_channels=in_channels, name="fpn")
+        self.fpn = YoloPAFPN(cfg=self.cfg.fpn, in_channels=in_channels,
+                             dtype=dtype, name="fpn")
         self.head = YoloXHead(cfg=self.cfg.head, in_channels=in_channels,
-                              strides=strides, name="head")
+                              strides=strides, dtype=dtype, name="head")
 
     def forward_backbone(self, x: Array, prev_states: LstmStates,
                          token_mask: Optional[Array] = None,

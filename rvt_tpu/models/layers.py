@@ -120,20 +120,23 @@ class SelfAttentionCl(nn.Module):
     dim: int
     dim_head: int = 32
     bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         num_heads = self.dim // self.dim_head
         B, N, C = x.shape
-        qkv = nn.Dense(self.dim * 3, use_bias=self.bias, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(B, N, num_heads, 3 * self.dim_head)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, h, dh]
         scale = self.dim_head ** -0.5
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * scale, axis=-1).astype(x.dtype)
+        attn = jax.nn.softmax(attn * scale, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype).reshape(B, N, C)
-        return nn.Dense(self.dim, use_bias=self.bias, name="proj")(out)
+        out = out.astype(qkv.dtype).reshape(B, N, C)
+        return nn.Dense(self.dim, use_bias=self.bias, dtype=self.dtype,
+                        name="proj")(out)
 
 
 class GLU(nn.Module):
@@ -142,10 +145,12 @@ class GLU(nn.Module):
     dim_out: int
     act: str
     bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        proj = nn.Dense(self.dim_out * 2, use_bias=self.bias, name="proj")(x)
+        proj = nn.Dense(self.dim_out * 2, use_bias=self.bias,
+                        dtype=self.dtype, name="proj")(x)
         val, gate = jnp.split(proj, 2, axis=-1)
         return val * _act(self.act)(gate)
 
@@ -159,19 +164,23 @@ class MLP(nn.Module):
     gated: bool
     bias: bool = True
     drop_prob: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         inner_dim = int(self.dim * self.expansion_ratio)
         if self.gated:
             inner_dim = math.floor(inner_dim * 2 / 3 / 32) * 32  # maxvit.py:102
-            x = GLU(dim_out=inner_dim, act=self.act, bias=self.bias, name="glu")(x)
+            x = GLU(dim_out=inner_dim, act=self.act, bias=self.bias,
+                    dtype=self.dtype, name="glu")(x)
         else:
-            x = nn.Dense(inner_dim, use_bias=self.bias, name="fc1")(x)
+            x = nn.Dense(inner_dim, use_bias=self.bias, dtype=self.dtype,
+                         name="fc1")(x)
             x = _act(self.act)(x)
         if self.drop_prob > 0.0:
             x = nn.Dropout(rate=self.drop_prob)(x, deterministic=deterministic)
-        return nn.Dense(self.dim, use_bias=self.bias, name="fc2")(x)
+        return nn.Dense(self.dim, use_bias=self.bias, dtype=self.dtype,
+                        name="fc2")(x)
 
 
 class DropPath(nn.Module):
@@ -198,6 +207,7 @@ class PartitionAttention(nn.Module):
     partition_window: bool
     cfg: AttentionConfig
     skip_first_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -212,7 +222,8 @@ class PartitionAttention(nn.Module):
             part = window_partition(x, P)
         else:
             part = grid_partition(x, P)
-        part = SelfAttentionCl(dim=self.dim, dim_head=cfg.dim_head, bias=cfg.attention_bias,
+        part = SelfAttentionCl(dim=self.dim, dim_head=cfg.dim_head,
+                               bias=cfg.attention_bias, dtype=self.dtype,
                                name="self_attn")(part)
         if self.partition_window:
             x = window_reverse(part, P, img_size)
@@ -227,7 +238,7 @@ class PartitionAttention(nn.Module):
         y = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2")(x)
         y = MLP(dim=self.dim, expansion_ratio=cfg.mlp_ratio, act=cfg.mlp_activation,
                 gated=cfg.mlp_gated, bias=cfg.mlp_bias, drop_prob=cfg.drop_mlp,
-                name="mlp")(y, deterministic)
+                dtype=self.dtype, name="mlp")(y, deterministic)
         if cfg.ls_init_value > 0:
             y = LayerScale(dim=self.dim, init_value=cfg.ls_init_value, name="ls2")(y)
         y = DropPath(rate=cfg.drop_path, name="drop_path2")(y, deterministic)
@@ -240,13 +251,16 @@ class MaxVitAttentionPair(nn.Module):
     dim: int
     cfg: AttentionConfig
     skip_first_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = PartitionAttention(dim=self.dim, partition_window=True, cfg=self.cfg,
                                skip_first_norm=self.skip_first_norm,
+                               dtype=self.dtype,
                                name="att_window")(x, deterministic)
         x = PartitionAttention(dim=self.dim, partition_window=False, cfg=self.cfg,
+                               dtype=self.dtype,
                                name="att_grid")(x, deterministic)
         return x
 
@@ -266,6 +280,7 @@ class ConvDownsample(nn.Module):
     dim_out: int
     downsample_factor: int
     cfg: DownsampleConfig
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -279,7 +294,7 @@ class ConvDownsample(nn.Module):
             pad = 0
         x = nn.Conv(self.dim_out, kernel_size=(kernel_size, kernel_size),
                     strides=(f, f), padding=[(pad, pad), (pad, pad)],
-                    use_bias=False, name="conv")(x)
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.LayerNorm(epsilon=self.cfg.norm_eps,
                          use_bias=self.cfg.norm_affine,
                          use_scale=self.cfg.norm_affine, name="norm")(x)
@@ -302,6 +317,7 @@ class DWSConvLSTM2d(nn.Module):
 
     dim: int
     cfg: LstmConfig
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, h_c: Tuple[Array, Array],
@@ -312,14 +328,21 @@ class DWSConvLSTM2d(nn.Module):
         if cfg.dws_conv and cfg.dws_conv_only_hidden:
             k = cfg.dws_conv_kernel_size
             h_tm1 = nn.Conv(self.dim, kernel_size=(k, k), padding=[(k // 2, k // 2)] * 2,
-                            feature_group_count=self.dim, name="conv3x3_dws")(h_tm1)
-        xh = jnp.concatenate([x, h_tm1], axis=-1)
+                            feature_group_count=self.dim, dtype=self.dtype,
+                            name="conv3x3_dws")(h_tm1)
+        xh = jnp.concatenate([x, h_tm1.astype(x.dtype)], axis=-1)
         if cfg.dws_conv and not cfg.dws_conv_only_hidden:
             k = cfg.dws_conv_kernel_size
             xh = nn.Conv(2 * self.dim, kernel_size=(k, k), padding=[(k // 2, k // 2)] * 2,
-                         feature_group_count=2 * self.dim, name="conv3x3_dws")(xh)
-        mix = nn.Conv(4 * self.dim, kernel_size=(1, 1), name="conv1x1")(xh)
+                         feature_group_count=2 * self.dim, dtype=self.dtype,
+                         name="conv3x3_dws")(xh)
+        mix = nn.Conv(4 * self.dim, kernel_size=(1, 1), dtype=self.dtype,
+                      name="conv1x1")(xh)
 
+        # gate/state math in f32: keeps the recurrent carry numerically
+        # stable and dtype-invariant across scan steps
+        mix = mix.astype(jnp.float32)
+        c_tm1 = c_tm1.astype(jnp.float32)
         gates, cell_input = mix[..., : 3 * self.dim], mix[..., 3 * self.dim:]
         gates = jax.nn.sigmoid(gates)
         forget_gate = gates[..., : self.dim]

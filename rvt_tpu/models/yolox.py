@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from typing import Optional
+
 from rvt_tpu.config import FPNConfig, HeadConfig
 
 Array = jax.Array
@@ -45,6 +47,7 @@ class BaseConv(nn.Module):
     stride: int
     groups: int = 1
     act: str = "silu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -53,7 +56,7 @@ class BaseConv(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)],
                     feature_group_count=self.groups, use_bias=False,
-                    name="conv")(x)
+                    dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         return _act(self.act)(x)
@@ -66,13 +69,15 @@ class DWConv(nn.Module):
     ksize: int
     stride: int = 1
     act: str = "silu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         in_ch = x.shape[-1]
         x = BaseConv(in_ch, self.ksize, self.stride, groups=in_ch, act=self.act,
-                     name="dconv")(x, train)
-        return BaseConv(self.features, 1, 1, act=self.act, name="pconv")(x, train)
+                     dtype=self.dtype, name="dconv")(x, train)
+        return BaseConv(self.features, 1, 1, act=self.act, dtype=self.dtype,
+                        name="pconv")(x, train)
 
 
 class Bottleneck(nn.Module):
@@ -83,15 +88,19 @@ class Bottleneck(nn.Module):
     expansion: float = 0.5
     depthwise: bool = False
     act: str = "silu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         hidden = int(self.features * self.expansion)
-        y = BaseConv(hidden, 1, 1, act=self.act, name="conv1")(x, train)
+        y = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype,
+                     name="conv1")(x, train)
         if self.depthwise:
-            y = DWConv(self.features, 3, 1, act=self.act, name="conv2")(y, train)
+            y = DWConv(self.features, 3, 1, act=self.act, dtype=self.dtype,
+                       name="conv2")(y, train)
         else:
-            y = BaseConv(self.features, 3, 1, act=self.act, name="conv2")(y, train)
+            y = BaseConv(self.features, 3, 1, act=self.act, dtype=self.dtype,
+                         name="conv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = y + x
         return y
@@ -106,17 +115,22 @@ class CSPLayer(nn.Module):
     expansion: float = 0.5
     depthwise: bool = False
     act: str = "silu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         hidden = int(self.features * self.expansion)
-        x1 = BaseConv(hidden, 1, 1, act=self.act, name="conv1")(x, train)
-        x2 = BaseConv(hidden, 1, 1, act=self.act, name="conv2")(x, train)
+        x1 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype,
+                      name="conv1")(x, train)
+        x2 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype,
+                      name="conv2")(x, train)
         for i in range(self.n):
             x1 = Bottleneck(hidden, self.shortcut, 1.0, self.depthwise,
-                            act=self.act, name=f"m{i}")(x1, train)
+                            act=self.act, dtype=self.dtype,
+                            name=f"m{i}")(x1, train)
         x = jnp.concatenate([x1, x2], axis=-1)
-        return BaseConv(self.features, 1, 1, act=self.act, name="conv3")(x, train)
+        return BaseConv(self.features, 1, 1, act=self.act, dtype=self.dtype,
+                        name="conv3")(x, train)
 
 
 def upsample2x(x: Array) -> Array:
@@ -131,40 +145,42 @@ class YoloPAFPN(nn.Module):
 
     cfg: FPNConfig
     in_channels: Tuple[int, int, int]  # dims of stages (2, 3, 4)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: Sequence[Array], train: bool = False) -> Tuple[Array, Array, Array]:
         depthwise = self.cfg.depthwise
         act = self.cfg.act
+        dt = self.dtype
         n_csp = round(3 * self.cfg.depth)
         c2, c1, c0 = self.in_channels
         x2, x1, x0 = features  # strides 8, 16, 32
 
-        fpn_out0 = BaseConv(c1, 1, 1, act=act, name="lateral_conv0")(x0, train)
+        fpn_out0 = BaseConv(c1, 1, 1, act=act, dtype=dt, name="lateral_conv0")(x0, train)
         f_out0 = jnp.concatenate([upsample2x(fpn_out0), x1], axis=-1)
         f_out0 = CSPLayer(c1, n_csp, False, depthwise=depthwise, act=act,
-                          name="C3_p4")(f_out0, train)
+                          dtype=dt, name="C3_p4")(f_out0, train)
 
-        fpn_out1 = BaseConv(c2, 1, 1, act=act, name="reduce_conv1")(f_out0, train)
+        fpn_out1 = BaseConv(c2, 1, 1, act=act, dtype=dt, name="reduce_conv1")(f_out0, train)
         f_out1 = jnp.concatenate([upsample2x(fpn_out1), x2], axis=-1)
         pan_out2 = CSPLayer(c2, n_csp, False, depthwise=depthwise, act=act,
-                            name="C3_p3")(f_out1, train)
+                            dtype=dt, name="C3_p3")(f_out1, train)
 
         if depthwise:
-            p_out1 = DWConv(c2, 3, 2, act=act, name="bu_conv2")(pan_out2, train)
+            p_out1 = DWConv(c2, 3, 2, act=act, dtype=dt, name="bu_conv2")(pan_out2, train)
         else:
-            p_out1 = BaseConv(c2, 3, 2, act=act, name="bu_conv2")(pan_out2, train)
+            p_out1 = BaseConv(c2, 3, 2, act=act, dtype=dt, name="bu_conv2")(pan_out2, train)
         p_out1 = jnp.concatenate([p_out1, fpn_out1], axis=-1)
         pan_out1 = CSPLayer(c1, n_csp, False, depthwise=depthwise, act=act,
-                            name="C3_n3")(p_out1, train)
+                            dtype=dt, name="C3_n3")(p_out1, train)
 
         if depthwise:
-            p_out0 = DWConv(c1, 3, 2, act=act, name="bu_conv1")(pan_out1, train)
+            p_out0 = DWConv(c1, 3, 2, act=act, dtype=dt, name="bu_conv1")(pan_out1, train)
         else:
-            p_out0 = BaseConv(c1, 3, 2, act=act, name="bu_conv1")(pan_out1, train)
+            p_out0 = BaseConv(c1, 3, 2, act=act, dtype=dt, name="bu_conv1")(pan_out1, train)
         p_out0 = jnp.concatenate([p_out0, fpn_out0], axis=-1)
         pan_out0 = CSPLayer(c0, n_csp, False, depthwise=depthwise, act=act,
-                            name="C3_n4")(p_out0, train)
+                            dtype=dt, name="C3_n4")(p_out0, train)
 
         return pan_out2, pan_out1, pan_out0
 
@@ -195,6 +211,7 @@ class YoloXHead(nn.Module):
     cfg: HeadConfig
     in_channels: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (8, 16, 32)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: Sequence[Array], train: bool = False) -> Array:
@@ -209,16 +226,19 @@ class YoloXHead(nn.Module):
         outputs = []
         hw_per_level = []
         for k, x in enumerate(features):
-            x = BaseConv(hidden, 1, 1, act=act, name=f"stem{k}")(x, train)
+            x = BaseConv(hidden, 1, 1, act=act, dtype=self.dtype,
+                         name=f"stem{k}")(x, train)
             cls_feat = x
             for j in range(2):
-                cls_feat = Conv(hidden, 3, 1, act=act, name=f"cls_conv{k}_{j}")(cls_feat, train)
+                cls_feat = Conv(hidden, 3, 1, act=act, dtype=self.dtype,
+                                name=f"cls_conv{k}_{j}")(cls_feat, train)
             cls_out = nn.Conv(num_classes, (1, 1),
                               bias_init=nn.initializers.constant(prior_bias),
                               name=f"cls_pred{k}")(cls_feat)
             reg_feat = x
             for j in range(2):
-                reg_feat = Conv(hidden, 3, 1, act=act, name=f"reg_conv{k}_{j}")(reg_feat, train)
+                reg_feat = Conv(hidden, 3, 1, act=act, dtype=self.dtype,
+                                name=f"reg_conv{k}_{j}")(reg_feat, train)
             reg_out = nn.Conv(4, (1, 1), name=f"reg_pred{k}")(reg_feat)
             obj_out = nn.Conv(1, (1, 1),
                               bias_init=nn.initializers.constant(prior_bias),

@@ -13,7 +13,7 @@ optionally TensorBoard (rvt_tpu/utils/logging.py).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Callable, Dict, Iterable, Optional
 
@@ -49,7 +49,13 @@ class Trainer:
                  dp_size: int = -1):
         self.cfg = cfg
         self.tcfg = trainer_cfg
-        self.model = model or RVTDetector(cfg=cfg.model)
+        if model is None:
+            # bf16 MXU compute when training.precision requests it (master
+            # params stay f32; see rvt_tpu/utils/precision.py)
+            compute = ("bfloat16" if cfg.training.precision in ("bf16", "bfloat16")
+                       else "float32")
+            model = RVTDetector(cfg=replace(cfg.model, compute_dtype=compute))
+        self.model = model
         self.optimizer = make_optimizer(cfg.training)
         self.mesh = make_mesh(dp_size)
         self.state = init_train_state(self.model, cfg, self.optimizer,
