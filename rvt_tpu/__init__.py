@@ -17,3 +17,12 @@ import jax as _jax
 # activations/params to bfloat16 in the mixed-precision path, never from
 # implicit truncation.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: compiles are expensive on this host (single
+# CPU core; tunneled TPU). Opt out by setting JAX_COMPILATION_CACHE_DIR="".
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/rvt_tpu_jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -121,9 +121,9 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
     anchor_strides = jnp.asarray(stride_np)
     num_classes = cfg.model.head.num_classes
     K = cfg.dataset.max_labeled_frames
-    # NOTE: full bf16 mixed precision requires threading a compute dtype
-    # through the flax modules (params stay f32); until then the train step
-    # runs f32 end-to-end regardless of cfg.training.precision.
+    # Inputs/states enter in f32; bf16 MXU compute is selected by the
+    # model's cfg.compute_dtype (see models/layers.py dtype threading) while
+    # master params, norms and LSTM state math stay f32.
     compute_dtype = jnp.float32
     in_res = cfg.model.backbone.in_res_hw
 
