@@ -32,7 +32,6 @@ reader supports whatever h5py can open).
 from __future__ import annotations
 
 import argparse
-import math
 import os
 from multiprocessing import get_context
 from pathlib import Path

@@ -30,7 +30,7 @@ def main() -> None:
     from rvt_tpu.config import preset
     from rvt_tpu.convert.torch_ckpt import load_torch_checkpoint
     from rvt_tpu.data.streaming import EvalStreamScheduler
-    from rvt_tpu.models import RVTDetector, init_detector
+    from rvt_tpu.models import RVTDetector
     from rvt_tpu.training.evaluator_loop import run_streaming_eval
 
     cfg = preset(args.dataset, args.size)

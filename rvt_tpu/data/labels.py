@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from rvt_tpu.data.types import L_CLS, L_H, L_T, L_W, L_X, L_Y
+from rvt_tpu.data.types import L_CLS, L_H, L_W, L_X, L_Y
 
 
 def clamp_to_frame(labels: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:

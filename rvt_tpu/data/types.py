@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass
-from typing import Dict, Optional
-
 import numpy as np
 
 # Label field order on disk and in Batch.labels (labels.py:13-21)

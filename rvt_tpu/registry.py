@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from rvt_tpu.config import DatasetConfig, ExperimentConfig, ModelConfig
+from rvt_tpu.config import ExperimentConfig, ModelConfig
 
 
 def build_model(cfg: ModelConfig, name: str = "rnndet"):

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, Optional
 
-import jax
 import numpy as np
 
 from rvt_tpu.config import ExperimentConfig

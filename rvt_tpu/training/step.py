@@ -18,7 +18,7 @@ This is the TPU-native equivalent of the reference Lightning module's
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,8 +221,6 @@ def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
 def init_train_state(model: RVTDetector, cfg: ExperimentConfig,
                      optimizer: optax.GradientTransformation,
                      rng: jax.Array) -> TrainState:
-    from rvt_tpu.models.detector import init_detector  # noqa
-
     H, W = cfg.model.backbone.in_res_hw
     x = jnp.zeros((1, H, W, cfg.model.backbone.input_channels), jnp.float32)
     variables = model.init(rng, x, zero_states(cfg.model.backbone, 1))

@@ -18,7 +18,6 @@ from pathlib import Path
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
 from rvt_tpu.config import ExperimentConfig
 from rvt_tpu.data.types import Batch
@@ -27,8 +26,7 @@ from rvt_tpu.models.detector import RVTDetector
 from rvt_tpu.parallel.mesh import (make_mesh, replicate_tree,
                                    shard_batch_arrays, shard_states)
 from rvt_tpu.training.optimizer import make_optimizer
-from rvt_tpu.training.step import (TrainState, init_train_state,
-                                   make_train_step)
+from rvt_tpu.training.step import init_train_state, make_train_step
 from rvt_tpu.utils.checkpoint import CheckpointManager
 from rvt_tpu.utils.logging import MetricsLogger
 

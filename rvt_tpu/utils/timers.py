@@ -14,7 +14,7 @@ import atexit
 import contextlib
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 

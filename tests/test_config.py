@@ -1,5 +1,4 @@
 """Config derive step + preset geometry (mirror of config/modifier.py)."""
-import numpy as np
 import pytest
 
 from rvt_tpu.config import preset

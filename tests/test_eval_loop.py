@@ -11,10 +11,9 @@ import jax  # noqa: E402
 from rvt_tpu.config import preset  # noqa: E402
 from rvt_tpu.data.sequence import Recording, StreamView  # noqa: E402
 from rvt_tpu.data.streaming import EvalStreamScheduler  # noqa: E402
-from rvt_tpu.models import RVTDetector, init_detector  # noqa: E402
+from rvt_tpu.models import init_detector  # noqa: E402
 from rvt_tpu.training.evaluator_loop import run_streaming_eval  # noqa: E402
 
-from .test_data_pipeline import _make_raw_recording  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -10,8 +10,7 @@ import sys  # noqa: E402
 sys.path.insert(0, "/root/reference")
 
 from rvt_tpu.data import labels as L  # noqa: E402
-from rvt_tpu.data.augmentor import (SpatialAugmentor, nearest_exact_resize,
-                                    rotate_nearest)  # noqa: E402
+from rvt_tpu.data.augmentor import SpatialAugmentor, nearest_exact_resize  # noqa: E402
 
 
 def _ref_labels(rows, hw):
