@@ -40,8 +40,12 @@ def main() -> None:
     from rvt_tpu.models import init_detector, zero_states
     from rvt_tpu.training.step import make_eval_step
 
+    from rvt_tpu.ops.s2d import host_space_to_depth
+
     cfg = preset("gen1", "base")
-    cfg = replace(cfg, model=replace(cfg.model, compute_dtype="bfloat16"))
+    cfg = replace(cfg, model=replace(
+        cfg.model, compute_dtype="bfloat16",
+        backbone=replace(cfg.model.backbone, stem_s2d=True)))
     model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
                                      batch_size=BATCH)
     H, W = cfg.model.backbone.in_res_hw
@@ -49,8 +53,9 @@ def main() -> None:
     eval_step = make_eval_step(model, cfg)
 
     rng = np.random.RandomState(0)
-    ev = jnp.asarray(rng.randint(0, 8, size=(BATCH, SEQ_LEN, H, W, 20)),
-                     jnp.uint8)
+    ev_raw = rng.randint(0, 8, size=(BATCH, SEQ_LEN, 240, 304, 20)).astype(np.uint8)
+    # host-side pad + space-to-depth (runs in the prefetcher in production)
+    ev = jnp.asarray(host_space_to_depth(ev_raw, (H, W)))
     # realistic label cadence: every 5th frame labelled (4 Hz vs 20 Hz)
     frame_valid = jnp.asarray(
         (np.arange(SEQ_LEN) % 5 == 4)[None].repeat(BATCH, 0))

@@ -72,6 +72,10 @@ class BackboneConfig:
 
     input_channels: int = 20
     enable_masking: bool = False
+    # Accept 4x4 space-to-depth-blocked input and fold the 7x7 stem kernel
+    # into an equivalent 2x2 conv (see rvt_tpu/ops/s2d.py). The host input
+    # pipeline must emit blocked tensors when enabled.
+    stem_s2d: bool = False
     partition_split_32: int = 2
     embed_dim: int = 64
     dim_multiplier: Tuple[int, ...] = (1, 2, 4, 8)

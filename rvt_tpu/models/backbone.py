@@ -47,9 +47,12 @@ class RVTStage(nn.Module):
     def __call__(self, x: Array, h_c: LstmState,
                  token_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Tuple[Array, LstmState]:
+        is_stem = self.downsample_factor == self.cfg.stem_patch_size
         x = ConvDownsample(dim_out=self.dim_out,
                            downsample_factor=self.downsample_factor,
                            cfg=self.cfg.downsample, dtype=self.dtype,
+                           s2d_input=self.cfg.stem_s2d and is_stem,
+                           in_channels=self.cfg.input_channels,
                            name="downsample")(x)
         if self.enable_token_masking:
             mask_token = self.param("mask_token", nn.initializers.normal(stddev=0.02),

@@ -63,11 +63,22 @@ def init_detector(cfg: ModelConfig, rng: jax.Array, batch_size: int = 1,
                   dtype=jnp.float32) -> Tuple[RVTDetector, Any]:
     """Build the module and initialise variables with static shapes."""
     model = RVTDetector(cfg=cfg)
-    H, W = cfg.backbone.in_res_hw
-    x = jnp.zeros((batch_size, H, W, cfg.backbone.input_channels), dtype)
+    x = jnp.zeros((batch_size,) + model_input_hw_c(cfg), dtype)
     states = zero_states(cfg.backbone, batch_size, dtype)
     variables = model.init(rng, x, states)
     return model, variables
+
+
+def model_input_hw_c(cfg: ModelConfig) -> Tuple[int, int, int]:
+    """Spatial+channel shape of one input frame (depends on stem_s2d)."""
+    H, W = cfg.backbone.in_res_hw
+    C = cfg.backbone.input_channels
+    if cfg.backbone.stem_s2d:
+        from rvt_tpu.ops.s2d import BLOCK, s2d_input_hw
+
+        hp, wp = s2d_input_hw((H, W))
+        return hp, wp, BLOCK * BLOCK * C
+    return H, W, C
 
 
 def scan_backbone(model: RVTDetector, variables, ev_seq: Array,

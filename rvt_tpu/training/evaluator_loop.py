@@ -33,12 +33,18 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
     evaluator = PropheseeEvaluator(cfg.dataset.name,
                                    cfg.dataset.downsample_by_factor_2)
     states = zero_states(cfg.model.backbone, batch_size)
+    stem_s2d = model.cfg.backbone.stem_s2d
+    if stem_s2d:
+        from rvt_tpu.ops.s2d import host_space_to_depth
 
     for batch in batches:
         assert batch.batch_size == batch_size
+        ev = batch.ev_repr
+        if stem_s2d:
+            ev = host_space_to_depth(ev, cfg.model.backbone.in_res_hw)
         states, dets, det_valid, frame_idx, gval = eval_step(
             variables, states,
-            batch.ev_repr, batch.frame_valid, batch.is_first_sample)
+            ev, batch.frame_valid, batch.is_first_sample)
         dets = np.asarray(dets)
         det_valid = np.asarray(det_valid)
         frame_idx = np.asarray(frame_idx)

@@ -101,9 +101,18 @@ def gather_labels(labels: Array, label_mask: Array, frame_idx: Array):
     return yolox, mask
 
 
-def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype) -> Array:
+def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype,
+                stem_s2d: bool = False) -> Array:
     """Zero-pad bottom/right to the model resolution and convert dtype
-    (corner padding, utils/padding.py:28-53)."""
+    (corner padding, utils/padding.py:28-53). In stem_s2d mode the host
+    pipeline already emitted padded+blocked tensors (ops/s2d.py) — only the
+    shape is checked."""
+    if stem_s2d:
+        from rvt_tpu.ops.s2d import s2d_input_hw
+
+        assert ev.shape[-3:-1] == s2d_input_hw(target_hw), \
+            f"expected s2d-blocked input, got {ev.shape}"
+        return ev.astype(dtype)
     H, W = ev.shape[-3], ev.shape[-2]
     ph, pw = target_hw[0] - H, target_hw[1] - W
     assert ph >= 0 and pw >= 0
@@ -158,7 +167,8 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
         Returns (new_state, new_lstm_states, metrics).
         """
         lstm_states = reset_states(lstm_states, is_first_sample)
-        ev_seq = pad_ev_repr(ev_repr, in_res, compute_dtype)
+        ev_seq = pad_ev_repr(ev_repr, in_res, compute_dtype,
+                             cfg.model.backbone.stem_s2d)
         ev_seq = jnp.swapaxes(ev_seq, 0, 1)  # [T, B, H, W, C]
 
         init_states = jax.tree.map(lambda x: x.astype(compute_dtype),
@@ -196,7 +206,8 @@ def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
     def eval_step(variables, lstm_states: LstmStates, ev_repr: Array,
                   frame_valid: Array, is_first_sample: Array):
         lstm_states = reset_states(lstm_states, is_first_sample)
-        ev_seq = pad_ev_repr(ev_repr, in_res, dtype)
+        ev_seq = pad_ev_repr(ev_repr, in_res, dtype,
+                             cfg.model.backbone.stem_s2d)
         ev_seq = jnp.swapaxes(ev_seq, 0, 1)
 
         feats, final_states = scan_backbone(model, variables, ev_seq,

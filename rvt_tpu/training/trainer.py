@@ -102,8 +102,14 @@ class Trainer:
                 self._lstm_states = shard_states(
                     self.mesh, zero_states(cfg.model.backbone, batch.batch_size))
 
+            ev_host = batch.ev_repr
+            if self.model.cfg.backbone.stem_s2d:
+                from rvt_tpu.ops.s2d import host_space_to_depth
+
+                ev_host = host_space_to_depth(
+                    ev_host, self.model.cfg.backbone.in_res_hw)
             ev, labels, label_mask, frame_valid, is_first = shard_batch_arrays(
-                self.mesh, batch.ev_repr, batch.labels, batch.label_mask,
+                self.mesh, ev_host, batch.labels, batch.label_mask,
                 batch.frame_valid, batch.is_first_sample)
             self.state, self._lstm_states, metrics = self.train_step(
                 self.state, self._lstm_states, ev, labels, label_mask,

@@ -33,3 +33,25 @@ def test_bf16_drift_bounded():
     pr32 = jax.nn.sigmoid(p32[..., 4:])
     pr16 = jax.nn.sigmoid(p16[..., 4:])
     assert np.abs(pr32 - pr16).max() < 0.05
+
+
+def test_stem_s2d_equivalence():
+    """stem_s2d model == standard model on the same weights + inputs."""
+    import numpy as np
+
+    from rvt_tpu.ops.s2d import host_space_to_depth
+
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 96))
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0))
+    cfg_s2d = replace(cfg.model, backbone=replace(cfg.model.backbone,
+                                                  stem_s2d=True))
+    model_s2d = RVTDetector(cfg=cfg_s2d)
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 8, size=(2, 64, 96, 20)).astype(np.float32)
+    states = zero_states(cfg.model.backbone, 2)
+    p_ref, _ = model.apply(variables, jnp.asarray(x), states)
+    xs = jnp.asarray(host_space_to_depth(x, cfg.model.backbone.in_res_hw))
+    p_s2d, _ = model_s2d.apply(variables, xs, states)
+    np.testing.assert_allclose(np.asarray(p_s2d), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-4)
