@@ -50,7 +50,8 @@ def main() -> None:
     ap.add_argument("--dp_size", type=int, default=-1)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--init_ckpt", type=Path, default=None,
-                    help="torch .ckpt or orbax dir for weights-only init")
+                    help="reference torch .ckpt for weights-only init "
+                         "(use --resume for orbax checkpoints)")
     args = ap.parse_args()
 
     from rvt_tpu.config import preset

@@ -37,21 +37,11 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
     if stem_s2d:
         from rvt_tpu.ops.s2d import host_space_to_depth
 
-    for batch in batches:
-        assert batch.batch_size == batch_size
-        ev = batch.ev_repr
-        if stem_s2d:
-            ev = host_space_to_depth(ev, cfg.model.backbone.in_res_hw)
-        states, dets, det_valid, frame_idx, gval = eval_step(
-            variables, states,
-            ev, batch.frame_valid, batch.is_first_sample)
-        dets = np.asarray(dets)
-        det_valid = np.asarray(det_valid)
-        frame_idx = np.asarray(frame_idx)
-        gval = np.asarray(gval)
-
+    def consume(batch: Batch, outputs) -> None:
+        """Convert one window's device outputs to protocol arrays (host)."""
+        dets, det_valid, frame_idx, gval = [np.asarray(o) for o in outputs]
         gt_list, pred_list = [], []
-        for b in range(batch_size):
+        for b in range(batch.batch_size):
             for k in range(frame_idx.shape[1]):
                 if not gval[b, k]:
                     continue
@@ -67,6 +57,23 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
         if gt_list:
             evaluator.add_labels(gt_list)
             evaluator.add_predictions(pred_list)
+
+    # one-window lag: host-side conversion of window N overlaps the device
+    # computing window N+1 (dispatch is async; fetches happen in consume)
+    pending = None
+    for batch in batches:
+        assert batch.batch_size == batch_size
+        ev = batch.ev_repr
+        if stem_s2d:
+            ev = host_space_to_depth(ev, cfg.model.backbone.in_res_hw)
+        states, dets, det_valid, frame_idx, gval = eval_step(
+            variables, states,
+            ev, batch.frame_valid, batch.is_first_sample)
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, (dets, det_valid, frame_idx, gval))
+    if pending is not None:
+        consume(*pending)
 
     if not evaluator.has_data():
         return None
