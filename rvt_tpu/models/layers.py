@@ -217,7 +217,8 @@ class PartitionAttention(nn.Module):
 
         shortcut = x
         if not self.skip_first_norm:
-            x = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm1")(x)
+            x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype,
+                             name="norm1")(x)
         if self.partition_window:
             part = window_partition(x, P)
         else:
@@ -235,7 +236,8 @@ class PartitionAttention(nn.Module):
         x = shortcut + x
 
         shortcut = x
-        y = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype,
+                         name="norm2")(x)
         y = MLP(dim=self.dim, expansion_ratio=cfg.mlp_ratio, act=cfg.mlp_activation,
                 gated=cfg.mlp_gated, bias=cfg.mlp_bias, drop_prob=cfg.drop_mlp,
                 dtype=self.dtype, name="mlp")(y, deterministic)
@@ -330,7 +332,8 @@ class ConvDownsample(nn.Module):
                         use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.LayerNorm(epsilon=self.cfg.norm_eps,
                          use_bias=self.cfg.norm_affine,
-                         use_scale=self.cfg.norm_affine, name="norm")(x)
+                         use_scale=self.cfg.norm_affine, dtype=self.dtype,
+                         name="norm")(x)
         return x
 
 
@@ -372,20 +375,19 @@ class DWSConvLSTM2d(nn.Module):
         mix = nn.Conv(4 * self.dim, kernel_size=(1, 1), dtype=self.dtype,
                       name="conv1x1")(xh)
 
-        # gate/state math in f32: keeps the recurrent carry numerically
-        # stable and dtype-invariant across scan steps
-        mix = mix.astype(jnp.float32)
-        c_tm1 = c_tm1.astype(jnp.float32)
+        # Gate activations run in the compute dtype (halves HBM traffic in
+        # bf16 mode); the cell-state update itself is f32 so the recurrent
+        # carry stays numerically stable and dtype-invariant across steps.
         gates, cell_input = mix[..., : 3 * self.dim], mix[..., 3 * self.dim:]
         gates = jax.nn.sigmoid(gates)
-        forget_gate = gates[..., : self.dim]
-        input_gate = gates[..., self.dim: 2 * self.dim]
-        output_gate = gates[..., 2 * self.dim:]
-        cell_input = jnp.tanh(cell_input)
+        forget_gate = gates[..., : self.dim].astype(jnp.float32)
+        input_gate = gates[..., self.dim: 2 * self.dim].astype(jnp.float32)
+        output_gate = gates[..., 2 * self.dim:].astype(jnp.float32)
+        cell_input = jnp.tanh(cell_input).astype(jnp.float32)
         if cfg.drop_cell_update > 0.0:
             cell_input = nn.Dropout(rate=cfg.drop_cell_update)(
                 cell_input, deterministic=deterministic)
 
-        c_t = forget_gate * c_tm1 + input_gate * cell_input
+        c_t = forget_gate * c_tm1.astype(jnp.float32) + input_gate * cell_input
         h_t = output_gate * jnp.tanh(c_t)
         return h_t, c_t
