@@ -1,0 +1,87 @@
+"""End-to-end on-device inference: raw event streams -> detections.
+
+BASELINE config 3 capability: unlike the reference (which voxelizes offline
+on the host with numba/torch, scripts/genx/preprocess_dataset.py), this
+pipeline runs everything inside one jit region per frame batch:
+
+  raw events (padded [B, N] x/y/p/t + counts)
+    -> stacked histogram (Pallas scatter-add voxelizer)
+    -> optional 2x nearest downsample (gen4)
+    -> pad to model resolution
+    -> recurrent detector step
+    -> on-device NMS
+
+Host never touches pixels; only the raw event arrays go up and the padded
+detections come back.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rvt_tpu.config import ExperimentConfig
+from rvt_tpu.models.backbone import LstmStates
+from rvt_tpu.models.detector import RVTDetector
+from rvt_tpu.ops.boxes import postprocess
+from rvt_tpu.ops.voxelization import stacked_histogram, stacked_histogram_pallas
+from rvt_tpu.training.step import reset_states
+
+Array = jax.Array
+
+
+def nearest_downsample2(x: Array) -> Array:
+    """[..., C, H, W] 2x nearest-exact downsample (preprocess parity:
+    src = floor((dst + 0.5) * 2) = 2*dst + 1)."""
+    return x[..., 1::2, 1::2]
+
+
+def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
+                            use_pallas_voxelizer: bool = True,
+                            interpret: bool = False):
+    """Build a jitted step: (variables, states, events, counts,
+    is_first_sample) -> (states, detections, det_valid).
+
+    events: dict of x/y/p/t int32 [B, N] (t sorted per lane, zero padded);
+    counts: [B] int32 valid-event counts. One event-repr frame per lane per
+    call, recurrent states carried.
+    """
+    bins = 10  # stacked_histogram_dt=50_nbins=10 (dataset presets)
+    sH, sW = cfg.dataset.resolution_hw
+    ds2 = cfg.dataset.downsample_by_factor_2
+    in_res = cfg.model.backbone.in_res_hw
+    pp = cfg.model.postprocess
+    num_classes = cfg.model.head.num_classes
+    assert not cfg.model.backbone.stem_s2d, \
+        "raw pipeline emits HWC frames; use stem_s2d=False (device S2D TBD)"
+
+    vox = stacked_histogram_pallas if use_pallas_voxelizer else stacked_histogram
+    vox_kwargs = {"interpret": interpret} if use_pallas_voxelizer else {}
+
+    @jax.jit
+    def step(variables, states: LstmStates, x: Array, y: Array, p: Array,
+             t: Array, counts: Array, is_first_sample: Array):
+        states = reset_states(states, is_first_sample)
+
+        def voxelize(xi, yi, pi, ti, n):
+            return vox(xi, yi, pi, ti, n, bins, sH, sW, **vox_kwargs)
+
+        frames = jax.vmap(voxelize)(x, y, p, t, counts)  # [B, 2*bins, H, W]
+        if ds2:
+            frames = nearest_downsample2(frames)
+        frames = jnp.moveaxis(frames, 1, -1)  # -> NHWC
+        H, W = frames.shape[1:3]
+        frames = jnp.pad(frames, ((0, 0), (0, in_res[0] - H),
+                                  (0, in_res[1] - W), (0, 0)))
+        frames = frames.astype(jnp.float32)
+
+        preds, new_states = model.apply(variables, frames, states)
+        infer = jnp.concatenate([preds[..., :4],
+                                 jax.nn.sigmoid(preds[..., 4:])], axis=-1)
+        dets, valid = postprocess(infer, num_classes,
+                                  pp.confidence_threshold, pp.nms_threshold,
+                                  pp.pre_nms_topk, pp.max_detections)
+        return new_states, dets, valid
+
+    return step

@@ -190,3 +190,44 @@ def test_stacked_histogram_pallas_interpret_matches_jax():
     got = np.asarray(stacked_histogram_pallas(*args, chunk=1024,
                                               interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_raw_inference_pipeline():
+    """Raw events -> voxelize -> detector -> NMS, one jit region (CPU,
+    interpret-mode Pallas, tiny geometry)."""
+    from rvt_tpu.config import preset
+    from rvt_tpu.inference import make_raw_inference_step
+    from rvt_tpu.models import init_detector, zero_states
+
+    cfg = preset("gen1", "tiny", resolution_hw=(32, 48), sequence_length=2,
+                 max_labels_per_frame=4)
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                     batch_size=2)
+    step = make_raw_inference_step(model, cfg, use_pallas_voxelizer=True,
+                                   interpret=True)
+
+    rng = np.random.RandomState(0)
+    B, N = 2, 1024
+    n = np.array([700, 500], np.int32)
+    x = np.zeros((B, N), np.int32)
+    y = np.zeros((B, N), np.int32)
+    p = np.zeros((B, N), np.int32)
+    t = np.zeros((B, N), np.int32)
+    for b in range(B):
+        x[b, :n[b]] = rng.randint(0, 48, n[b])
+        y[b, :n[b]] = rng.randint(0, 32, n[b])
+        p[b, :n[b]] = rng.randint(0, 2, n[b])
+        t[b, :n[b]] = np.sort(rng.randint(0, 50000, n[b]))
+    states = zero_states(cfg.model.backbone, B)
+    states, dets, valid = step(variables, states,
+                               jnp.asarray(x), jnp.asarray(y), jnp.asarray(p),
+                               jnp.asarray(t), jnp.asarray(n),
+                               jnp.ones((B,), bool))
+    assert dets.shape[0] == B and dets.shape[-1] == 7
+    assert np.isfinite(np.asarray(dets)).all()
+    # recurrence: second call with carried state still works
+    states, dets2, _ = step(variables, states,
+                            jnp.asarray(x), jnp.asarray(y), jnp.asarray(p),
+                            jnp.asarray(t), jnp.asarray(n),
+                            jnp.zeros((B,), bool))
+    assert np.isfinite(np.asarray(dets2)).all()
