@@ -25,7 +25,8 @@ from rvt_tpu.config import ExperimentConfig
 from rvt_tpu.models.backbone import LstmStates
 from rvt_tpu.models.detector import RVTDetector
 from rvt_tpu.ops.boxes import postprocess
-from rvt_tpu.ops.voxelization import stacked_histogram, stacked_histogram_pallas
+from rvt_tpu.ops.voxelization import (stacked_histogram,
+                                      stacked_histogram_pallas_batched)
 from rvt_tpu.training.step import reset_states
 
 Array = jax.Array
@@ -56,18 +57,19 @@ def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
     assert not cfg.model.backbone.stem_s2d, \
         "raw pipeline emits HWC frames; use stem_s2d=False (device S2D TBD)"
 
-    vox = stacked_histogram_pallas if use_pallas_voxelizer else stacked_histogram
-    vox_kwargs = {"interpret": interpret} if use_pallas_voxelizer else {}
-
     @jax.jit
     def step(variables, states: LstmStates, x: Array, y: Array, p: Array,
              t: Array, counts: Array, is_first_sample: Array):
         states = reset_states(states, is_first_sample)
 
-        def voxelize(xi, yi, pi, ti, n):
-            return vox(xi, yi, pi, ti, n, bins, sH, sW, **vox_kwargs)
-
-        frames = jax.vmap(voxelize)(x, y, p, t, counts)  # [B, 2*bins, H, W]
+        if use_pallas_voxelizer:
+            frames = stacked_histogram_pallas_batched(
+                x, y, p, t, counts, bins, sH, sW, interpret=interpret)
+        else:
+            frames = jax.vmap(
+                lambda xi, yi, pi, ti, n: stacked_histogram(
+                    xi, yi, pi, ti, n, bins, sH, sW)
+            )(x, y, p, t, counts)  # [B, 2*bins, H, W]
         if ds2:
             frames = nearest_downsample2(frames)
         frames = jnp.moveaxis(frames, 1, -1)  # -> NHWC

@@ -110,29 +110,30 @@ def mixed_density_stack(x: Array, y: Array, pol: Array, t: Array,
 def _histogram_kernel(nev_ref, flat_ref, out_ref):
     """Accumulate a chunk of flat indices into the VMEM-resident histogram.
 
-    Grid iterates over event chunks; the output block is constant across
-    iterations so it stays pinned in VMEM and is only written back to HBM
-    once at the end.
+    Grid is (batch, chunks) — chunks iterate fastest, so one lane's output
+    block stays pinned in VMEM across all its event chunks and is written
+    back to HBM once.
     """
-    chunk_idx = pl.program_id(0)
-    chunk = flat_ref.shape[0]
+    b = pl.program_id(0)
+    chunk_idx = pl.program_id(1)
+    chunk = flat_ref.shape[1]
 
     @pl.when(chunk_idx == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    n_valid = nev_ref[0] - chunk_idx * chunk
-    size = out_ref.shape[0] * out_ref.shape[1]
+    n_valid = nev_ref[b] - chunk_idx * chunk
+    size = out_ref.shape[1] * out_ref.shape[2]
 
     def body(i, _):
-        idx = flat_ref[i]
+        idx = flat_ref[0, i]
         idx = jnp.where(i < n_valid, idx, size)
-        r = idx // out_ref.shape[1]
-        c = idx % out_ref.shape[1]
+        r = idx // out_ref.shape[2]
+        c = idx % out_ref.shape[2]
 
         @pl.when(idx < size)
         def _():
-            out_ref[r, c] += 1
+            out_ref[0, r, c] += 1
 
         return 0
 
@@ -142,39 +143,56 @@ def _histogram_kernel(nev_ref, flat_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("bins", "height", "width",
                                              "count_cutoff", "chunk",
                                              "interpret"))
-def stacked_histogram_pallas(x: Array, y: Array, pol: Array, t: Array,
-                             num_events: Array, bins: int, height: int,
-                             width: int, count_cutoff: int = 255,
-                             chunk: int = 8192,
-                             interpret: bool = False) -> Array:
-    """Pallas TPU scatter-add voxelizer (same semantics as
-    ``stacked_histogram``). The histogram stays in VMEM for the whole event
-    stream; rows are the 2*bins channels, columns the H*W cells padded to a
-    lane multiple."""
-    N = x.shape[0]
+def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
+                                     num_events: Array, bins: int, height: int,
+                                     width: int, count_cutoff: int = 255,
+                                     chunk: int = 8192,
+                                     interpret: bool = False) -> Array:
+    """Batched Pallas TPU scatter-add voxelizer (same semantics as
+    vmapped ``stacked_histogram``). Inputs are [B, N]; the batch lives in
+    the grid (do NOT vmap this — the SMEM count input does not batch).
+    Each lane's histogram stays in VMEM across its event chunks."""
+    B, N = x.shape
     assert N % chunk == 0 or N < chunk, (N, chunk)
     chunk = min(chunk, N)
     hw = height * width
     hw_pad = ((hw + 127) // 128) * 128
+    assert 2 * bins * hw_pad * 4 <= 12 * 2 ** 20, \
+        "histogram exceeds VMEM; use stacked_histogram (XLA scatter)"
 
-    valid = jnp.arange(N) < num_events
-    t_idx = _time_bin_indices(t, num_events, bins)
+    valid = jnp.arange(N)[None, :] < num_events[:, None]
+    t_idx = jax.vmap(lambda tt, nn: _time_bin_indices(tt, nn, bins))(
+        t, num_events)
     channel = pol * bins + t_idx
     flat = channel * hw_pad + (x + width * y)
     flat = jnp.where(valid, flat, 2 * bins * hw_pad)
 
-    grid = (max(N // chunk, 1),)
+    grid = (B, max(N // chunk, 1))
     hist = pl.pallas_call(
         _histogram_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * bins, hw_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, 2 * bins, hw_pad), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * bins, hw_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * bins, hw_pad), jnp.int32),
         interpret=interpret,
-    )(num_events.reshape(1).astype(jnp.int32), flat)
-    hist = jnp.minimum(hist[:, :hw], count_cutoff).astype(jnp.uint8)
-    return hist.reshape(2 * bins, height, width)
+    )(num_events.astype(jnp.int32), flat)
+    hist = jnp.minimum(hist[:, :, :hw], count_cutoff).astype(jnp.uint8)
+    return hist.reshape(B, 2 * bins, height, width)
+
+
+def stacked_histogram_pallas(x: Array, y: Array, pol: Array, t: Array,
+                             num_events: Array, bins: int, height: int,
+                             width: int, count_cutoff: int = 255,
+                             chunk: int = 8192,
+                             interpret: bool = False) -> Array:
+    """Single-stream wrapper over the batched Pallas voxelizer."""
+    out = stacked_histogram_pallas_batched(
+        x[None], y[None], pol[None], t[None],
+        jnp.reshape(num_events, (1,)), bins, height, width,
+        count_cutoff, chunk, interpret)
+    return out[0]
