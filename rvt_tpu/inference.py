@@ -5,7 +5,9 @@ on the host with numba/torch, scripts/genx/preprocess_dataset.py), this
 pipeline runs everything inside one jit region per frame batch:
 
   raw events (padded [B, N] x/y/p/t + counts)
-    -> stacked histogram (Pallas scatter-add voxelizer)
+    -> stacked histogram (XLA scatter voxelizer: 0.5 ms/frame for 32k
+       events on a v5e; the Pallas kernel is interpret-mode-only because
+       Mosaic cannot lower scalar VMEM stores — see docs/PERF.md)
     -> optional 2x nearest downsample (gen4)
     -> pad to model resolution
     -> recurrent detector step
@@ -39,7 +41,7 @@ def nearest_downsample2(x: Array) -> Array:
 
 
 def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
-                            use_pallas_voxelizer: bool = True,
+                            use_pallas_voxelizer: bool = False,
                             interpret: bool = False):
     """Build a jitted step: (variables, states, events, counts,
     is_first_sample) -> (states, detections, det_valid).
