@@ -232,8 +232,9 @@ def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
 def init_train_state(model: RVTDetector, cfg: ExperimentConfig,
                      optimizer: optax.GradientTransformation,
                      rng: jax.Array) -> TrainState:
-    H, W = cfg.model.backbone.in_res_hw
-    x = jnp.zeros((1, H, W, cfg.model.backbone.input_channels), jnp.float32)
+    from rvt_tpu.models.detector import model_input_hw_c
+
+    x = jnp.zeros((1,) + model_input_hw_c(model.cfg), jnp.float32)
     variables = model.init(rng, x, zero_states(cfg.model.backbone, 1))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -111,3 +111,33 @@ def test_state_reset_mask(setup):
     out = reset_states(states, jnp.asarray([True, False]))
     h = np.asarray(out[0][0])
     assert h[0].sum() == 0 and h[1].sum() > 0
+
+
+def test_train_step_with_s2d_stem():
+    """Gradients flow through the folded stem kernel (stem_s2d training)."""
+    from dataclasses import replace
+
+    import optax
+
+    from rvt_tpu.ops.s2d import host_space_to_depth
+
+    cfg = _tiny_cfg()
+    cfg = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, stem_s2d=True)))
+    model = RVTDetector(cfg=cfg.model)
+    optimizer = optax.adamw(1e-3)
+    state = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, optimizer, donate=False)
+    B = 2
+    ev, labels, mask, fv = _batch(cfg, B)
+    ev_s2d = jnp.asarray(host_space_to_depth(
+        np.asarray(ev), cfg.model.backbone.in_res_hw))
+    states = zero_states(cfg.model.backbone, B)
+    new_state, _, metrics = step(state, states, ev_s2d, labels, mask, fv,
+                                 jnp.ones((B,), bool))
+    assert np.isfinite(float(metrics["loss"]))
+    # the 7x7 stem kernel itself received a gradient update
+    k0 = state.params["backbone"]["stage1"]["downsample"]["conv"]["kernel"]
+    k1 = new_state.params["backbone"]["stage1"]["downsample"]["conv"]["kernel"]
+    assert k0.shape[:2] == (7, 7)
+    assert float(jnp.abs(k1 - k0).max()) > 0
