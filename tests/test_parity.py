@@ -144,3 +144,29 @@ def test_conversion_all_sizes(size):
     variables = convert_state_dict(ref.state_dict())
     _, init_vars = init_detector(cfg.model, jax.random.PRNGKey(0), batch_size=1)
     assert_tree_match(variables["params"], init_vars["params"])
+
+
+def test_gen4_geometry_parity():
+    """gen4-style config (partition_split 2, 3 classes) at reduced
+    resolution: full forward parity vs the reference torch model."""
+    cfg = preset("gen4", "tiny", resolution_hw=(128, 192))
+    assert cfg.model.backbone.partition_split_32 == 2
+    assert cfg.model.head.num_classes == 3
+    ref = build_reference_detector(cfg, seed=2)
+    variables = convert_state_dict(ref.state_dict())
+    model = RVTDetector(cfg=cfg.model)
+
+    rng = np.random.RandomState(7)
+    H, W = cfg.model.backbone.in_res_hw
+    x = rng.randint(0, 8, size=(1, 20, H, W)).astype(np.float32)
+    with torch.no_grad():
+        preds_t, _, _ = ref(torch.from_numpy(x))
+    states0 = zero_states(cfg.model.backbone, 1)
+    preds_j, _ = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                             states0)
+    preds_j = np.concatenate([np.asarray(preds_j[..., :4]),
+                              jax.nn.sigmoid(preds_j[..., 4:])], axis=-1)
+    np.testing.assert_allclose(preds_j[..., :4], preds_t[..., :4].numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(preds_j[..., 4:], preds_t[..., 4:].numpy(),
+                               rtol=1e-3, atol=1e-5)
