@@ -48,11 +48,22 @@ def main() -> None:
     ap.add_argument("--log_every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dp_size", type=int, default=-1)
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialise jax.distributed (multi-host DCN+ICI "
+                         "training; requires coordinator env vars)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--init_ckpt", type=Path, default=None,
                     help="reference torch .ckpt for weights-only init "
                          "(use --resume for orbax checkpoints)")
     args = ap.parse_args()
+
+    if args.multihost:
+        # Multi-host SPMD: the same mesh code then spans hosts (DCN between
+        # hosts, ICI within). Replaces the reference's DDP backend choice
+        # (train.py:60-67) — XLA handles all collectives.
+        import jax
+
+        jax.distributed.initialize()
 
     from rvt_tpu.config import preset
     from rvt_tpu.data.augmentor import SpatialAugmentor
@@ -118,10 +129,16 @@ def main() -> None:
 
     eval_fn = None
     if args.val_every:
+        import jax
+
         val_streams = build_streams(args.data_dir, "val", cfg, train=False)
 
         def eval_fn(variables):
-            sched = EvalStreamScheduler(val_streams, cfg.batch_size.eval)
+            # shard recordings across processes (reference: rank-aware
+            # stream sharding, stream_sharded_datapipe.py:73-80)
+            sched = EvalStreamScheduler(val_streams, cfg.batch_size.eval,
+                                        shard_index=jax.process_index(),
+                                        num_shards=jax.process_count())
             return run_streaming_eval(trainer.model, variables, cfg,
                                       iter(sched), cfg.batch_size.eval)
 
