@@ -14,6 +14,11 @@ import argparse
 import time
 from dataclasses import replace
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
