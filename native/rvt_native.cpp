@@ -15,6 +15,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -65,14 +66,19 @@ void coco_match_image(const double* ious, int D, int G,
 }
 
 // StackedHistogram voxelizer (representations.py:76-121 semantics):
-// counts per (polarity, time-bin, y, x) cell, clipped to count_cutoff.
+// counts per (polarity, time-bin, y, x) cell.
+// fastmode != 0 reproduces the reference default (uint8 accumulation that
+// wraps mod 256 on hot pixels, then clamp to count_cutoff) — required for
+// bit-parity with reference-preprocessed datasets. fastmode == 0 saturates
+// at count_cutoff (reference fastmode=False int16+clip semantics).
 // t must be sorted ascending. out: [2*bins*height*width] uint8, zeroed here.
 void stacked_histogram_u8(const int32_t* x, const int32_t* y,
                           const int32_t* p, const int64_t* t, int64_t n,
                           int bins, int height, int width, int count_cutoff,
-                          uint8_t* out) {
+                          int fastmode, uint8_t* out) {
   const int64_t hw = (int64_t)height * width;
-  std::memset(out, 0, (size_t)(2 * bins) * hw);
+  const int64_t total = (int64_t)(2 * bins) * hw;
+  std::memset(out, 0, (size_t)total);
   if (n <= 0) return;
   const int64_t t0 = t[0];
   const int64_t dt = std::max<int64_t>(t[n - 1] - t0, 1);
@@ -81,8 +87,59 @@ void stacked_histogram_u8(const int32_t* x, const int32_t* y,
     ti = std::min(ti, bins - 1);
     const int64_t idx = ((int64_t)p[i] * bins + ti) * hw
                         + (int64_t)y[i] * width + x[i];
-    const int v = out[idx];
-    if (v < count_cutoff) out[idx] = (uint8_t)(v + 1);
+    if (fastmode) {
+      out[idx] = (uint8_t)(out[idx] + 1);  // wraps like torch uint8 put_
+    } else {
+      const int v = out[idx];
+      if (v < count_cutoff) out[idx] = (uint8_t)(v + 1);
+    }
+  }
+  if (fastmode && count_cutoff < 255) {
+    for (int64_t i = 0; i < total; ++i)
+      if (out[i] > count_cutoff) out[i] = (uint8_t)count_cutoff;
+  }
+}
+
+// MixedDensityEventStack voxelizer (representations.py:130-218 semantics):
+// log2-spaced time bins, polarity +/-1 accumulated in int8 (wrapping, like
+// torch put_ on int8), then per-channel prefix sum computed in int64 and
+// wrap-cast back to int8 (torch cumsum_channel assigns an int64 sum into an
+// int8 tensor), finally clamped to +/-count_cutoff when cutoff >= 0.
+// out: [bins*height*width] int8, zeroed here.
+void mixed_density_stack_i8(const int32_t* x, const int32_t* y,
+                            const int32_t* p, const int64_t* t, int64_t n,
+                            int bins, int height, int width, int count_cutoff,
+                            int8_t* out) {
+  const int64_t hw = (int64_t)height * width;
+  std::memset(out, 0, (size_t)bins * hw);
+  if (n <= 0) return;
+  const int64_t t0 = t[0];
+  const double dt = (double)std::max<int64_t>(t[n - 1] - t0, 1);
+  const double log_half = std::log(0.5);
+  for (int64_t i = 0; i < n; ++i) {
+    double t_norm = (double)(t[i] - t0) / dt;
+    t_norm = std::min(std::max(t_norm, 1e-6), 1.0 - 1e-6);
+    double bin_f = (double)bins - std::log(t_norm) / log_half;
+    if (bin_f < 0.0) bin_f = 0.0;
+    int ti = std::min((int)bin_f, bins - 1);
+    const int64_t idx = (int64_t)ti * hw + (int64_t)y[i] * width + x[i];
+    out[idx] = (int8_t)(out[idx] + (p[i] > 0 ? 1 : -1));
+  }
+  // reverse-order in-place channel prefix sums over the original values:
+  // channel c <- sum(channels 0..c); iterate c descending so sources stay
+  // original (matches cumsum_channel, representations.py:124-127).
+  for (int c = bins - 1; c >= 0; --c) {
+    for (int64_t j = 0; j < hw; ++j) {
+      int64_t s = 0;
+      for (int k = 0; k <= c; ++k) s += out[(int64_t)k * hw + j];
+      out[(int64_t)c * hw + j] = (int8_t)s;  // wrap-cast like torch
+    }
+  }
+  if (count_cutoff >= 0) {
+    for (int64_t i = 0; i < (int64_t)bins * hw; ++i) {
+      if (out[i] > count_cutoff) out[i] = (int8_t)count_cutoff;
+      else if (out[i] < -count_cutoff) out[i] = (int8_t)(-count_cutoff);
+    }
   }
 }
 

@@ -26,8 +26,21 @@ Pipeline stages (reference line refs in parentheses):
     offset trick (467-477), append to HDF5 (written atomically via an
     ``_in_progress`` rename, 492-534).
 
-Compression: gzip (blosc's hdf5 plugin is not available in this image; the
-reader supports whatever h5py can open).
+Compression: blosc-zstd by default via the first-party HDF5 filter plugin
+(native/libh5blosc.so + system libblosc) with reference-identical filter
+options (utils/preprocessing.py:1-13) — files interoperate with
+hdf5plugin-written datasets both ways; ``--compression gzip`` as fallback.
+
+Representations: ``stacked_histogram`` (default) and ``mixeddensity_stack``,
+selected like the reference factory (649-680). Event windows slice by
+duration (``--ev_repr_delta_ts_ms``) or count (``--ev_repr_num_events``),
+mirroring 511-516. ``fastmode`` (default on, like the reference) accumulates
+histograms in uint8 and wraps mod 256 on >255-event cells — required for
+bit-parity with reference-preprocessed datasets; ``--no-fastmode`` saturates
+at the cutoff instead (reference fastmode=False semantics).
+
+Re-runs validate newly computed labels/timestamps against files already on
+disk (match_if_exists, 306-337) and skip finished event files (445-453).
 """
 from __future__ import annotations
 
@@ -176,24 +189,60 @@ def recover_frame_cadence(labels: np.ndarray, dataset: str,
 
 
 def stacked_histogram_np(x, y, p, t, bins: int, height: int, width: int,
-                         count_cutoff: int = 255) -> np.ndarray:
+                         count_cutoff: int = 255,
+                         fastmode: bool = False) -> np.ndarray:
     """Numpy mirror of ops.voxelization.stacked_histogram; dispatches to the
-    native C++ voxelizer (native/rvt_native.cpp) when available."""
+    native C++ voxelizer (native/rvt_native.cpp) when available.
+
+    fastmode=True reproduces the reference *default* bit-exactly: uint8
+    accumulation wraps mod 256 on hot pixels before the cutoff clamp
+    (representations.py:48,79-81). fastmode=False saturates at count_cutoff
+    (reference fastmode=False int16+clip semantics; also what the on-device
+    ops.voxelization.stacked_histogram computes)."""
     if len(x):
         from rvt_tpu import native_lib
 
         native = native_lib.stacked_histogram_u8(x, y, p, t, bins, height,
-                                                 width, count_cutoff)
+                                                 width, count_cutoff, fastmode)
         if native is not None:
             return native
-    hist = np.zeros((2 * bins, height, width), np.int32)
     if len(x) == 0:
-        return hist.astype(np.uint8)
+        return np.zeros((2 * bins, height, width), np.uint8)
     t = t.astype(np.int64)
     t_norm = (t - t[0]) / max(int(t[-1] - t[0]), 1)
     t_idx = np.clip(np.floor(t_norm * bins).astype(np.int64), 0, bins - 1)
-    np.add.at(hist, (p * bins + t_idx, y, x), 1)
+    dtype = np.uint8 if fastmode else np.int32
+    hist = np.zeros((2 * bins, height, width), dtype)
+    np.add.at(hist, (p * bins + t_idx, y, x), 1)  # uint8 wraps, like torch
     return np.minimum(hist, count_cutoff).astype(np.uint8)
+
+
+def mixed_density_np(x, y, p, t, bins: int, height: int, width: int,
+                     count_cutoff: Optional[int] = None) -> np.ndarray:
+    """Numpy mirror of the reference MixedDensityEventStack
+    (representations.py:130-218): log2-spaced time bins, +/-1 polarity
+    accumulated in int8 (wraps like torch put_), per-channel prefix sums
+    wrap-cast to int8, optional clamp. Dispatches to native C++."""
+    if len(x):
+        from rvt_tpu import native_lib
+
+        native = native_lib.mixed_density_stack_i8(x, y, p, t, bins, height,
+                                                   width, count_cutoff)
+        if native is not None:
+            return native
+    rep = np.zeros((bins, height, width), np.int8)
+    if len(x) == 0:
+        return rep
+    t = t.astype(np.int64)
+    t_norm = (t - t[0]) / max(int(t[-1] - t[0]), 1)
+    t_norm = np.clip(t_norm, 1e-6, 1 - 1e-6)
+    bin_float = np.maximum(bins - np.log(t_norm) / np.log(0.5), 0.0)
+    t_idx = np.minimum(np.floor(bin_float).astype(np.int64), bins - 1)
+    np.add.at(rep, (t_idx, y, x), (p * 2 - 1).astype(np.int8))
+    rep = np.cumsum(rep.astype(np.int64), axis=0).astype(np.int8)  # wrap-cast
+    if count_cutoff is not None:
+        rep = np.clip(rep, -count_cutoff, count_cutoff)
+    return rep
 
 
 def nearest_exact_downsample2(x: np.ndarray) -> np.ndarray:
@@ -250,15 +299,52 @@ class RawEventReader:
 # ---------------------------------------------------------------------------
 
 
+def _save_np_match_if_exists(path: Path, arr: np.ndarray) -> None:
+    """Write ``arr``; if the file already exists, assert the newly computed
+    values match it instead (re-run regression check, reference
+    preprocess_dataset.py:306-337)."""
+    if path.exists():
+        existing = np.load(str(path))
+        assert np.array_equal(existing, arr), \
+            f"re-run mismatch against existing {path}"
+    else:
+        np.save(str(path), arr)
+
+
+def default_repr_name(representation: str, bins: int,
+                      ev_repr_delta_ts_ms: Optional[int],
+                      ev_repr_num_events: Optional[int],
+                      count_cutoff: Optional[int]) -> str:
+    """Directory-name convention of the reference factories
+    (preprocess_dataset.py:594-596, 653, 668)."""
+    if ev_repr_num_events is not None:
+        window = f"ne={ev_repr_num_events}"
+    else:
+        window = f"dt={ev_repr_delta_ts_ms}"
+    name = f"{representation}_{window}_nbins={bins}"
+    if representation == "mixeddensity_stack" and count_cutoff is not None:
+        name += f"_cutoff={count_cutoff}"
+    return name
+
+
 def process_recording(npy_file: Path, h5_file: Path, out_dir: Path,
                       dataset: str, split: str, bins: int = 10,
                       ev_repr_delta_ts_ms: Optional[int] = 50,
                       ev_repr_num_events: Optional[int] = None,
                       downsample_by_2: bool = False,
-                      repr_name: Optional[str] = None) -> bool:
+                      repr_name: Optional[str] = None,
+                      representation: str = "stacked_histogram",
+                      count_cutoff: Optional[int] = None,
+                      fastmode: bool = True,
+                      compression: str = "blosc-zstd") -> bool:
     """Process one recording. Returns False if skipped (no labels left)."""
+    assert representation in ("stacked_histogram", "mixeddensity_stack")
+    assert (ev_repr_num_events is None) != (ev_repr_delta_ts_ms is None), \
+        "exactly one of duration/count event-window extraction"
     if repr_name is None:
-        repr_name = f"stacked_histogram_dt={ev_repr_delta_ts_ms}_nbins={bins}"
+        repr_name = default_repr_name(representation, bins,
+                                      ev_repr_delta_ts_ms,
+                                      ev_repr_num_events, count_cutoff)
     labels = np.load(str(npy_file))
     labels = filter_labels(labels, dataset, split)
     try:
@@ -275,14 +361,24 @@ def process_recording(npy_file: Path, h5_file: Path, out_dir: Path,
         offsets.append(start)
         flat.append(lab)
         start += len(lab)
-    np.savez(str(labels_dir / "labels.npz"), labels=np.concatenate(flat),
-             objframe_idx_2_label_idx=np.asarray(offsets, np.int64))
-    np.save(str(labels_dir / "timestamps_us.npy"), frame_ts)
+    flat_labels = np.concatenate(flat)
+    offsets = np.asarray(offsets, np.int64)
+    labels_npz = labels_dir / "labels.npz"
+    if labels_npz.exists():  # match_if_exists (306-337)
+        existing = np.load(str(labels_npz))
+        assert np.array_equal(existing["labels"], flat_labels) and \
+            np.array_equal(existing["objframe_idx_2_label_idx"], offsets), \
+            f"re-run mismatch against existing {labels_npz}"
+    else:
+        np.savez(str(labels_npz), labels=flat_labels,
+                 objframe_idx_2_label_idx=offsets)
+    _save_np_match_if_exists(labels_dir / "timestamps_us.npy", frame_ts)
 
     repr_dir = out_dir / "event_representations_v2" / repr_name
     repr_dir.mkdir(parents=True, exist_ok=True)
-    np.save(str(repr_dir / "objframe_idx_2_repr_idx.npy"), frameidx2repridx)
-    np.save(str(repr_dir / "timestamps_us.npy"), ev_ts)
+    _save_np_match_if_exists(repr_dir / "objframe_idx_2_repr_idx.npy",
+                             frameidx2repridx)
+    _save_np_match_if_exists(repr_dir / "timestamps_us.npy", ev_ts)
 
     suffix = "_ds2_nearest" if downsample_by_2 else ""
     outfile = repr_dir / f"event_representations{suffix}.h5"
@@ -302,15 +398,39 @@ def process_recording(npy_file: Path, h5_file: Path, out_dir: Path,
         starts = np.searchsorted(reader.time,
                                  ev_ts - ev_repr_delta_ts_ms * 1000, side="left")
 
+    if representation == "stacked_histogram":
+        channels, dtype = 2 * bins, "uint8"
+    else:
+        channels, dtype = bins, "int8"
+
+    if compression == "blosc-zstd":
+        from rvt_tpu.data import blosc_h5
+
+        assert blosc_h5.register_plugin(), \
+            "blosc HDF5 plugin unavailable (build native/libh5blosc.so) — " \
+            "use --compression gzip"
+        comp_kwargs = blosc_h5.blosc_opts(complevel=1, complib="blosc:zstd",
+                                          shuffle="byte")
+    else:
+        assert compression == "gzip", compression
+        comp_kwargs = {"compression": "gzip", "compression_opts": 1,
+                       "shuffle": True}
+
     with h5py.File(str(in_progress), "w") as h5out:
         ds = h5out.create_dataset(
-            "data", shape=(len(ev_ts), 2 * bins, oh, ow), dtype="uint8",
-            chunks=(1, 2 * bins, oh, ow), compression="gzip",
-            compression_opts=1, shuffle=True)
+            "data", shape=(len(ev_ts), channels, oh, ow), dtype=dtype,
+            chunks=(1, channels, oh, ow), **comp_kwargs)
         for i, (s, e) in enumerate(zip(starts, ends)):
             ev = reader.slice(int(s), int(e))
-            rep = stacked_histogram_np(ev["x"], ev["y"], ev["p"], ev["t"],
-                                       bins, H, W)
+            if representation == "stacked_histogram":
+                rep = stacked_histogram_np(
+                    ev["x"], ev["y"], ev["p"], ev["t"], bins, H, W,
+                    count_cutoff=255 if count_cutoff is None
+                    else min(count_cutoff, 255),
+                    fastmode=fastmode)
+            else:
+                rep = mixed_density_np(ev["x"], ev["y"], ev["p"], ev["t"],
+                                       bins, H, W, count_cutoff=count_cutoff)
             if downsample_by_2:
                 rep = nearest_exact_downsample2(rep)
             ds[i] = rep
@@ -331,10 +451,10 @@ def _find_pairs(in_dir: Path) -> List[Tuple[Path, Path, str]]:
 
 
 def _worker(args):
-    npy, h5, name, out_root, dataset, split, downsample = args
+    npy, h5, name, out_root, dataset, split, kwargs = args
     try:
         ok = process_recording(npy, h5, out_root / name, dataset, split,
-                               downsample_by_2=downsample)
+                               **kwargs)
         return name, ok, None
     except Exception as e:  # pragma: no cover
         return name, False, repr(e)
@@ -349,15 +469,39 @@ def main() -> None:
     ap.add_argument("--splits", nargs="+", default=["train", "val", "test"])
     ap.add_argument("--downsample_by_2", action="store_true")
     ap.add_argument("--num_processes", type=int, default=1)
+    ap.add_argument("--representation", default="stacked_histogram",
+                    choices=["stacked_histogram", "mixeddensity_stack"])
+    ap.add_argument("--nbins", type=int, default=10)
+    ap.add_argument("--count_cutoff", type=int, default=None)
+    ap.add_argument("--ev_repr_delta_ts_ms", type=int, default=50,
+                    help="duration event-window extraction (reference dt=50)")
+    ap.add_argument("--ev_repr_num_events", type=int, default=None,
+                    help="count event-window extraction (overrides duration)")
+    ap.add_argument("--no-fastmode", dest="fastmode", action="store_false",
+                    help="saturate histogram counts at the cutoff instead of "
+                         "the reference's uint8 wraparound accumulation")
+    ap.add_argument("--compression", default="blosc-zstd",
+                    choices=["blosc-zstd", "gzip"])
     args = ap.parse_args()
 
+    kwargs = dict(
+        bins=args.nbins,
+        representation=args.representation,
+        count_cutoff=args.count_cutoff,
+        ev_repr_delta_ts_ms=(None if args.ev_repr_num_events is not None
+                             else args.ev_repr_delta_ts_ms),
+        ev_repr_num_events=args.ev_repr_num_events,
+        downsample_by_2=args.downsample_by_2,
+        fastmode=args.fastmode,
+        compression=args.compression,
+    )
     jobs = []
     for split in args.splits:
         for npy, h5, name in _find_pairs(args.input_dir / split):
             if name in DIRS_TO_IGNORE[args.dataset]:
                 continue
             jobs.append((npy, h5, name, args.output_dir / split,
-                         args.dataset, split, args.downsample_by_2))
+                         args.dataset, split, kwargs))
     if args.num_processes > 1:
         with get_context("spawn").Pool(args.num_processes) as pool:
             results = pool.map(_worker, jobs)

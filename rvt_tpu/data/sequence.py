@@ -31,8 +31,14 @@ try:
 except ImportError:  # pragma: no cover
     h5py = None
 
+from rvt_tpu.data import blosc_h5
 from rvt_tpu.data.labels import LabelStore, pad_labels
 from rvt_tpu.data.types import Batch
+
+# Published datasets are blosc-zstd compressed (reference
+# utils/preprocessing.py:1-13); make the first-party filter available to
+# every h5py.File opened from here on.
+blosc_h5.register_plugin()
 
 
 def _ev_repr_file(path: Path, repr_name: str, downsample_by_factor_2: bool) -> Path:
@@ -77,7 +83,8 @@ class Recording:
     def _handle(self):
         if self._h5 is None:
             self._h5 = h5py.File(str(self.ev_file), "r")
-        return self._h5["data"]
+            self._data = blosc_h5.open_data_dataset(self._h5)
+        return self._data
 
     def read_ev_repr(self, start: int, end: int) -> np.ndarray:
         assert 0 <= start < end <= self.num_ev_repr
@@ -87,6 +94,7 @@ class Recording:
         if self._h5 is not None:
             self._h5.close()
             self._h5 = None
+            self._data = None
 
     # -- labels -------------------------------------------------------------
 

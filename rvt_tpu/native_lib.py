@@ -46,8 +46,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.coco_match_image.restype = None
     lib.stacked_histogram_u8.argtypes = [
         c_i32p, c_i32p, c_i32p, c_i64p, ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, c_u8p]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_u8p]
     lib.stacked_histogram_u8.restype = None
+    c_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.mixed_density_stack_i8.argtypes = [
+        c_i32p, c_i32p, c_i32p, c_i64p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i8p]
+    lib.mixed_density_stack_i8.restype = None
     lib.time_running_max.argtypes = [c_i64p, ctypes.c_int64]
     lib.time_running_max.restype = None
     _lib = lib
@@ -74,7 +79,10 @@ def coco_match_image(ious: np.ndarray, gt_ignore: np.ndarray,
 
 
 def stacked_histogram_u8(x, y, p, t, bins: int, height: int, width: int,
-                         count_cutoff: int = 255):
+                         count_cutoff: int = 255, fastmode: bool = False):
+    """fastmode=True reproduces the reference default exactly (uint8
+    accumulation wrapping mod 256 on >255-event cells, then clamp);
+    fastmode=False saturates at count_cutoff."""
     lib = get_lib()
     if lib is None:
         return None
@@ -83,8 +91,25 @@ def stacked_histogram_u8(x, y, p, t, bins: int, height: int, width: int,
     lib.stacked_histogram_u8(
         np.ascontiguousarray(x, np.int32), np.ascontiguousarray(y, np.int32),
         np.ascontiguousarray(p, np.int32), np.ascontiguousarray(t, np.int64),
-        n, bins, height, width, count_cutoff, out)
+        n, bins, height, width, count_cutoff, int(fastmode), out)
     return out.reshape(2 * bins, height, width)
+
+
+def mixed_density_stack_i8(x, y, p, t, bins: int, height: int, width: int,
+                           count_cutoff: Optional[int] = None):
+    """MixedDensityEventStack (reference representations.py:130-218): int8
+    wrap accumulation of +/-1 polarity, per-channel prefix sums wrap-cast to
+    int8, clamp to +/-count_cutoff when given."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(bins * height * width, np.int8)
+    lib.mixed_density_stack_i8(
+        np.ascontiguousarray(x, np.int32), np.ascontiguousarray(y, np.int32),
+        np.ascontiguousarray(p, np.int32), np.ascontiguousarray(t, np.int64),
+        len(x), bins, height, width,
+        -1 if count_cutoff is None else int(count_cutoff), out)
+    return out.reshape(bins, height, width)
 
 
 def time_running_max(t: np.ndarray):

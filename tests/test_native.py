@@ -78,3 +78,76 @@ def test_native_coco_matcher_equals_python(lib, monkeypatch):
     for k in with_native:
         np.testing.assert_allclose(with_native[k], without[k], rtol=1e-9,
                                    err_msg=k)
+
+
+def _reference_representations():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    import reference_shim
+    reference_shim.install_shims()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from data.utils.representations import (MixedDensityEventStack,
+                                            StackedHistogram)
+    return StackedHistogram, MixedDensityEventStack
+
+
+def _hot_events(seed=42, n=80000, H=16, W=20):
+    """Events concentrated on few pixels so uint8 accumulation wraps."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 4, n).astype(np.int32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    p = rng.integers(0, 2, n).astype(np.int32)
+    t = np.sort(rng.integers(0, 50000, n)).astype(np.int64)
+    return x, y, p, t, H, W
+
+
+def test_native_histogram_fastmode_wraps_like_reference(lib):
+    """fastmode must reproduce the reference default (uint8 wraparound on
+    >255-event cells, representations.py:48,79-81) bit-exactly — required
+    for parity with reference-preprocessed datasets (ADVICE round 1)."""
+    import torch as th
+
+    StackedHistogram, _ = _reference_representations()
+    x, y, p, t, H, W = _hot_events()
+    bins = 10
+    for fastmode in (True, False):
+        ref = StackedHistogram(bins=bins, height=H, width=W,
+                               fastmode=fastmode)
+        want = ref.construct(
+            th.asarray(x.astype(np.int64)), th.asarray(y.astype(np.int64)),
+            th.asarray(p.astype(np.int64)), th.asarray(t)
+        ).numpy().reshape(2 * bins, H, W)
+        got = native_lib.stacked_histogram_u8(x, y, p, t, bins, H, W,
+                                              fastmode=fastmode)
+        np.testing.assert_array_equal(got, want)
+    # wraparound actually exercised: fast and slow modes must differ here
+    fast = native_lib.stacked_histogram_u8(x, y, p, t, bins, H, W,
+                                           fastmode=True)
+    slow = native_lib.stacked_histogram_u8(x, y, p, t, bins, H, W,
+                                           fastmode=False)
+    assert not np.array_equal(fast, slow)
+
+
+def test_native_mixed_density_matches_reference(lib):
+    """mixed_density_stack_i8 vs the reference MixedDensityEventStack
+    (representations.py:130-218), incl. int8 wrap and cutoff variants."""
+    import torch as th
+
+    from rvt_tpu.cli.preprocess import mixed_density_np
+
+    _, MixedDensityEventStack = _reference_representations()
+    x, y, p, t, H, W = _hot_events(seed=3, n=30000)
+    bins = 8
+    for cutoff in (None, 100, 5):
+        ref = MixedDensityEventStack(bins=bins, height=H, width=W,
+                                     count_cutoff=cutoff)
+        want = ref.construct(
+            th.asarray(x.astype(np.int64)), th.asarray(y.astype(np.int64)),
+            th.asarray(p.astype(np.int64)), th.asarray(t)).numpy()
+        got = native_lib.mixed_density_stack_i8(x, y, p, t, bins, H, W,
+                                                cutoff)
+        np.testing.assert_array_equal(got, want)
+        via_api = mixed_density_np(x, y, p, t, bins, H, W, cutoff)
+        np.testing.assert_array_equal(via_api, want)
