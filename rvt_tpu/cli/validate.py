@@ -44,7 +44,12 @@ def main() -> None:
 
         optimizer = make_optimizer(cfg.training)
         template = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
-        state = CheckpointManager(args.checkpoint).restore(template)
+        mgr = CheckpointManager(args.checkpoint)
+        # prefer the best-by-val/AP checkpoint (the reference evaluates its
+        # ModelCheckpoint top-1); fall back to the latest step
+        state = mgr.restore_best(template)
+        if state is None:
+            state = mgr.restore(template)
         assert state is not None, f"no checkpoint at {args.checkpoint}"
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 

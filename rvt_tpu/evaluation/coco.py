@@ -14,7 +14,10 @@ reference invokes at ``utils/evaluation/prophesee/metrics/coco_eval.py:16-22``):
     ignored as well,
   * AP averaged over categories that have at least one GT.
 
-Verified against torch/references via tests/test_coco_eval.py fixtures.
+Verified by fuzzing (200+ random multi-image/multi-class scenes plus
+maxDets/area-range/ignored-GT edge cases) against an independent test-only
+transcription of the published COCOeval algorithm: tests/test_coco_eval.py
++ tests/coco_oracle.py.
 """
 from __future__ import annotations
 

@@ -16,32 +16,31 @@ from rvt_tpu.training.evaluator_loop import run_streaming_eval  # noqa: E402
 
 
 
-@pytest.fixture(scope="module")
-def small_dataset(tmp_path_factory):
-    """Synthetic 64x80 'gen1-like' recordings (small so XLA compiles fast)."""
+def make_mini_gen1_dataset(root, names=("a", "b"), hw=(64, 80)):
+    """Synthetic small 'gen1-like' preprocessed recordings under
+    <root>/val (small so XLA compiles fast)."""
     from rvt_tpu.cli import preprocess as pp
 
-    root = tmp_path_factory.mktemp("mini")
-    # monkeypatch dataset geometry to a small frame
+    H, W = hw
     old = pp.DATASET_HW["gen1"]
-    pp.DATASET_HW["gen1"] = (64, 80)
+    pp.DATASET_HW["gen1"] = (H, W)  # shrink dataset geometry for the test
     try:
-        for i, name in enumerate(["a", "b"]):
+        for i, name in enumerate(names):
             raw = root / "raw"
             raw.mkdir(exist_ok=True)
             rng = np.random.RandomState(i)
             n_events = 80_000
             t = np.sort(rng.randint(0, 2_500_000, n_events)).astype(np.int64)
-            x = rng.randint(0, 80, n_events).astype(np.uint16)
-            y = rng.randint(0, 64, n_events).astype(np.uint16)
+            x = rng.randint(0, W, n_events).astype(np.uint16)
+            y = rng.randint(0, H, n_events).astype(np.uint16)
             p = rng.randint(0, 2, n_events).astype(np.int8)
             h5f = raw / f"{name}_td.dat.h5"
             with h5py.File(str(h5f), "w") as f:
                 g = f.create_group("events")
                 for k, v in (("x", x), ("y", y), ("p", p), ("t", t)):
                     g.create_dataset(k, data=v)
-                g.create_dataset("height", data=64)
-                g.create_dataset("width", data=80)
+                g.create_dataset("height", data=H)
+                g.create_dataset("width", data=W)
             from .test_data_pipeline import BBOX_DTYPE
             label_ts = np.arange(600_000, 2_500_000, 250_000, dtype=np.int64)
             rows = [(ts, 10.0, 10.0, 30.0, 25.0, 0, 0, 1.0) for ts in label_ts]
@@ -53,6 +52,11 @@ def small_dataset(tmp_path_factory):
     finally:
         pp.DATASET_HW["gen1"] = old
     return root / "val"
+
+
+@pytest.fixture(scope="module")
+def small_dataset(tmp_path_factory):
+    return make_mini_gen1_dataset(tmp_path_factory.mktemp("mini"))
 
 
 def test_run_streaming_eval(small_dataset):

@@ -77,3 +77,32 @@ def test_prefetch_iterator_order_and_error():
     next(it)
     with pytest.raises(ValueError, match="boom"):
         next(it)
+
+
+def test_best_checkpoint_survives_worse_steps(tmp_path):
+    """Round-1 bug: recency-only retention deleted the best-AP checkpoint.
+    A better-then-worse metric sequence must keep the best step restorable
+    (reference ModelCheckpoint top-1 semantics, callbacks/custom.py:8-31)."""
+    import jax.numpy as jnp
+
+    from rvt_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+    mk = lambda v: {"w": jnp.full((4,), float(v))}
+    mgr.save(mk(1), step=1, metric=0.3)
+    mgr.save(mk(2), step=2, metric=0.5)   # best
+    mgr.save(mk(3), step=3, metric=0.2)
+    mgr.save(mk(4), step=4, metric=0.1)   # recency window is now {3, 4}
+    assert mgr.best_step() == 2
+    assert mgr.latest_step() == 4
+    best = mgr.restore_best(mk(0))
+    np.testing.assert_allclose(np.asarray(best["w"]), 2.0)
+    latest = mgr.restore(mk(0))
+    np.testing.assert_allclose(np.asarray(latest["w"]), 4.0)
+    # best.json reflects the preserved step
+    meta = json.loads((tmp_path / "ckpt" / "best.json").read_text())
+    assert meta["step"] == 2 and meta["best"] == 0.5
+    # a fresh manager on the same dir resumes the best-metric watermark
+    mgr2 = CheckpointManager(tmp_path / "ckpt", keep=2)
+    mgr2.save(mk(5), step=5, metric=0.4)  # worse than 0.5 -> best unchanged
+    assert mgr2.best_step() == 2

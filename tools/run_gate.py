@@ -1,0 +1,122 @@
+"""One-command mAP parity gate: checkpoint -> convert -> streaming eval ->
+Prophesee COCO -> delta vs the paper table.
+
+The BASELINE gate is <=0.2 mAP vs the released reference checkpoints
+(rvt-{t,s,b}.ckpt x {gen1, gen4}, /root/reference/README.md:73-108,
+loaded+evaluated by /root/reference/validation.py:28-90). This tool makes
+that gate a single command once the datasets/checkpoints are present:
+
+    python -m tools.run_gate --ckpt rvt-t.ckpt --data /data/gen1 \
+        --dataset gen1 --size tiny [--split test] [--batch_size 8]
+
+Prints one JSON object: all six COCO stats, the paper mAP for that
+(dataset, size), the delta, and pass/fail against the 0.2 budget. Runs
+end-to-end today on the synthetic fixture dataset with a converted
+randomly-initialised reference checkpoint (tests/test_gate_harness.py),
+so only the real inputs are missing.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+# Paper table (arXiv:2212.05598; re-verify against the PDF before using as
+# a hard gate — flagged in BASELINE.md). Keys: (dataset, size) -> test mAP.
+PAPER_MAP = {
+    ("gen1", "base"): 47.2,
+    ("gen1", "small"): 46.5,
+    ("gen1", "tiny"): 44.1,
+    ("gen4", "base"): 47.4,
+    ("gen4", "small"): 44.1,
+    ("gen4", "tiny"): 41.5,
+}
+
+GATE_BUDGET = 0.2  # max |delta| vs the reference checkpoint's mAP
+
+
+def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
+             split: str = "test", batch_size: int = 8,
+             expected_map: float | None = None,
+             preset_kwargs: dict | None = None) -> dict:
+    """Convert + evaluate one checkpoint; returns the gate record.
+
+    preset_kwargs: config overrides (resolution_hw, sequence_length, ...)
+    used by the fixture-dataset harness test; production runs pass none.
+    """
+    import jax
+
+    from rvt_tpu.cli.train import build_streams
+    from rvt_tpu.config import preset
+    from rvt_tpu.convert.torch_ckpt import load_torch_checkpoint
+    from rvt_tpu.data.streaming import EvalStreamScheduler
+    from rvt_tpu.models import RVTDetector
+    from rvt_tpu.training.evaluator_loop import run_streaming_eval
+
+    cfg = preset(dataset, size, **(preset_kwargs or {}))
+    model = RVTDetector(cfg=cfg.model)
+    variables = load_torch_checkpoint(str(ckpt))
+
+    streams = build_streams(data_dir, split, cfg, train=False)
+    sched = EvalStreamScheduler(streams, batch_size)
+    metrics = run_streaming_eval(model, variables, cfg, iter(sched),
+                                 batch_size)
+
+    record = {
+        "dataset": dataset,
+        "size": size,
+        "split": split,
+        "checkpoint": str(ckpt),
+        "num_recordings": len(streams),
+        "device": jax.devices()[0].platform,
+        **{k: float(v) for k, v in metrics.items()},
+    }
+    paper = PAPER_MAP.get((dataset, size))
+    if paper is not None:
+        record["paper_map"] = paper
+        record["delta_vs_paper"] = round(100.0 * record["AP"] - paper, 3)
+    if expected_map is not None:
+        delta = abs(100.0 * record["AP"] - expected_map)
+        record["expected_map"] = expected_map
+        record["delta_vs_expected"] = round(delta, 3)
+        record["gate_pass"] = bool(delta <= GATE_BUDGET)
+    return record
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", type=Path, required=True,
+                    help="reference torch .ckpt (or orbax dir) to gate")
+    ap.add_argument("--data", type=Path, required=True,
+                    help="preprocessed dataset root (<split>/<recording>/...)")
+    ap.add_argument("--dataset", choices=["gen1", "gen4"], required=True)
+    ap.add_argument("--size", choices=["tiny", "small", "base"],
+                    default=None, help="inferred from ckpt name if omitted")
+    ap.add_argument("--split", default="test", choices=["val", "test"])
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--expected_map", type=float, default=None,
+                    help="reference-checkpoint mAP to gate against "
+                         "(<=0.2 delta); defaults to the paper value")
+    args = ap.parse_args()
+
+    size = args.size
+    if size is None:
+        stem = args.ckpt.stem.lower()
+        size = {"t": "tiny", "s": "small", "b": "base"}.get(
+            stem.rsplit("-", 1)[-1][:1])
+        assert size, f"cannot infer size from {args.ckpt}; pass --size"
+
+    expected = args.expected_map
+    if expected is None:
+        expected = PAPER_MAP.get((args.dataset, size))
+    record = run_gate(args.ckpt, args.data, args.dataset, size,
+                      split=args.split, batch_size=args.batch_size,
+                      expected_map=expected)
+    print(json.dumps(record, indent=2))
+    if record.get("gate_pass") is False:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
