@@ -22,6 +22,10 @@ def main() -> None:
     ap.add_argument("--checkpoint", type=Path, required=True)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--use_test_set", action="store_true")
+    ap.add_argument("--viz_dir", type=Path, default=None,
+                    help="write pred-vs-GT panel PNGs here "
+                         "(reference callbacks/detection.py:32-100)")
+    ap.add_argument("--viz_every", type=int, default=50)
     args = ap.parse_args()
 
     import jax
@@ -57,7 +61,8 @@ def main() -> None:
     streams = build_streams(args.data_dir, split, cfg, train=False)
     sched = EvalStreamScheduler(streams, args.batch_size)
     metrics = run_streaming_eval(model, variables, cfg, iter(sched),
-                                 args.batch_size)
+                                 args.batch_size, viz_dir=args.viz_dir,
+                                 viz_every=args.viz_every)
     print(json.dumps(metrics, indent=2))
 
 

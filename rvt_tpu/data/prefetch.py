@@ -18,22 +18,31 @@ _SENTINEL = object()
 
 
 class PrefetchIterator:
-    """Wrap a batch iterable with a background producer thread."""
+    """Wrap a batch iterable with a background producer thread.
 
-    def __init__(self, iterable: Iterable[Batch], prefetch_depth: int = 4):
+    ``transform`` (optional) runs on each item inside the producer thread —
+    the place for host-side preprocessing (e.g. the s2d stem transform,
+    rvt_tpu/ops/s2d.py) so it overlaps device compute instead of sitting on
+    the step's critical path."""
+
+    def __init__(self, iterable: Iterable[Batch], prefetch_depth: int = 4,
+                 transform=None):
         assert prefetch_depth >= 1
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._produce,
-                                        args=(iterable,), daemon=True)
+                                        args=(iterable, transform),
+                                        daemon=True)
         self._thread.start()
 
-    def _produce(self, iterable: Iterable[Batch]) -> None:
+    def _produce(self, iterable: Iterable[Batch], transform) -> None:
         try:
             for item in iterable:
                 if self._stop.is_set():
                     return
+                if transform is not None:
+                    item = transform(item)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(item, timeout=0.5)

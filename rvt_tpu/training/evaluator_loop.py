@@ -22,12 +22,29 @@ from rvt_tpu.models.detector import RVTDetector
 from rvt_tpu.training.step import make_eval_step
 
 
+def _write_panel(path, ev_hwc: np.ndarray, gt, pred, labelmap) -> None:
+    """Render one labelled frame ([H, W, C] uint8 storage layout) with GT
+    and prediction overlays and save it as PNG."""
+    from PIL import Image
+
+    from rvt_tpu.utils.visualization import render_detections
+
+    img = render_detections(np.moveaxis(ev_hwc, -1, 0), gt, pred, labelmap)
+    Image.fromarray(img).save(str(path))
+
+
 def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
                        batches: Iterable[Batch],
-                       batch_size: int) -> Optional[Dict[str, float]]:
+                       batch_size: int,
+                       viz_dir=None, viz_every: int = 50
+                       ) -> Optional[Dict[str, float]]:
     """Evaluate over an iterable of stream batches (all same batch size).
 
     Returns the Prophesee COCO metrics dict or None if no labels were seen.
+
+    viz_dir: if set, writes a pred-vs-GT panel PNG for every viz_every-th
+    labelled frame (reference DetectionVizCallback image grids,
+    callbacks/detection.py:32-100).
     """
     eval_step = make_eval_step(model, cfg)
     evaluator = PropheseeEvaluator(cfg.dataset.name,
@@ -36,9 +53,21 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
     stem_s2d = model.cfg.backbone.stem_s2d
     if stem_s2d:
         from rvt_tpu.ops.s2d import host_space_to_depth
+    if viz_dir is not None:
+        from pathlib import Path
+
+        from rvt_tpu.utils.visualization import (LABELMAP_GEN1,
+                                                 LABELMAP_GEN4_SHORT,
+                                                 render_detections)
+        viz_dir = Path(viz_dir)
+        viz_dir.mkdir(parents=True, exist_ok=True)
+        labelmap = (LABELMAP_GEN4_SHORT if cfg.dataset.name == "gen4"
+                    else LABELMAP_GEN1)
+    frames_seen = 0
 
     def consume(batch: Batch, outputs) -> None:
         """Convert one window's device outputs to protocol arrays (host)."""
+        nonlocal frames_seen
         dets, det_valid, frame_idx, gval = [np.asarray(o) for o in outputs]
         gt_list, pred_list = [], []
         for b in range(batch.batch_size):
@@ -51,9 +80,15 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
                 if len(labels) == 0:
                     continue
                 time_us = int(labels[0, 0])
-                gt_list.append(labels_to_structured(labels))
-                pred_list.append(detections_to_structured(
-                    dets[b, k], det_valid[b, k], time_us))
+                gt = labels_to_structured(labels)
+                pred = detections_to_structured(
+                    dets[b, k], det_valid[b, k], time_us)
+                gt_list.append(gt)
+                pred_list.append(pred)
+                if viz_dir is not None and frames_seen % viz_every == 0:
+                    _write_panel(viz_dir / f"frame_{frames_seen:06d}.png",
+                                 batch.ev_repr[b, t_step], gt, pred, labelmap)
+                frames_seen += 1
         if gt_list:
             evaluator.add_labels(gt_list)
             evaluator.add_predictions(pred_list)

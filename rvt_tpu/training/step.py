@@ -187,6 +187,12 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
                                     final_states)
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        # per-parameter mean |grad| (reference GradFlowLogCallback,
+        # callbacks/gradflow.py:17-51). One tiny fused reduction per leaf;
+        # the trainer fetches these only on its gradflow logging cadence.
+        for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            metrics[f"gradflow/{name}"] = jnp.mean(jnp.abs(leaf))
         return new_state, final_states, metrics
 
     return train_step

@@ -1,12 +1,13 @@
-"""Visualization: event tensors -> RGB images, detection overlays, and
-gradient-flow summaries.
+"""Visualization: event tensors -> RGB images and detection overlays.
 
 Covers the reference observability components:
   * event-tensor rendering (callbacks/viz_base.py:163-174),
   * pred/GT box drawing (utils/evaluation/prophesee/visualize/vis_utils.py
-    + callbacks/detection.py) — cv2-based,
-  * gradient-flow logging (mean |grad| per parameter,
-    callbacks/gradflow.py:10-51) as a dict suitable for any logger.
+    + callbacks/detection.py) — cv2-based.
+
+Panels are written during validation by training/evaluator_loop.py
+(``viz_dir=...``); per-parameter gradient-flow logging lives inside the
+train step (training/step.py, reference callbacks/gradflow.py:10-51).
 """
 from __future__ import annotations
 
@@ -82,13 +83,3 @@ def render_detections(ev_repr: np.ndarray, gt_boxes: Optional[np.ndarray],
     return img
 
 
-def gradient_flow(grads) -> Dict[str, float]:
-    """Mean |grad| per parameter tree leaf (callbacks/gradflow.py:17-51)."""
-    import jax
-
-    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
-    out = {}
-    for path, leaf in flat:
-        name = "/".join(str(getattr(p, "key", p)) for p in path)
-        out[name] = float(abs(leaf).mean())
-    return out

@@ -59,7 +59,7 @@ def small_dataset(tmp_path_factory):
     return make_mini_gen1_dataset(tmp_path_factory.mktemp("mini"))
 
 
-def test_run_streaming_eval(small_dataset):
+def test_run_streaming_eval(small_dataset, tmp_path):
     cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=5,
                  max_labels_per_frame=8, max_labeled_frames=4)
     model, variables = init_detector(cfg.model, jax.random.PRNGKey(0))
@@ -69,10 +69,18 @@ def test_run_streaming_eval(small_dataset):
             for p in sorted(small_dataset.iterdir())]
     views = [StreamView(r, cfg.dataset.sequence_length) for r in recs]
     sched = EvalStreamScheduler(views, batch_size=2)
+    viz_dir = tmp_path / "viz"
     metrics = run_streaming_eval(model, variables, cfg, iter(sched),
-                                 batch_size=2)
+                                 batch_size=2, viz_dir=viz_dir, viz_every=3)
     # random weights -> AP ~ 0, but the protocol must produce all keys
     assert metrics is not None
     for k in ("AP", "AP_50", "AP_75", "AP_S", "AP_M", "AP_L"):
         assert k in metrics
         assert 0.0 <= metrics[k] <= 1.0 or np.isnan(metrics[k]) is False
+    # validation viz panels written (reference callbacks/detection.py:32-100)
+    panels = sorted(viz_dir.glob("frame_*.png"))
+    assert panels, "no viz panels written"
+    from PIL import Image
+
+    img = np.asarray(Image.open(panels[0]))
+    assert img.shape == (64, 80, 3)

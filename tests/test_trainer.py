@@ -39,17 +39,26 @@ def _batches(cfg, n, B=2, seed=0):
 def test_trainer_fit_and_checkpoint(tmp_path):
     cfg = _tiny_cfg()
     tcfg = TrainerConfig(max_steps=3, log_every_n_steps=1,
-                         ckpt_every_n_steps=2, ckpt_dir=str(tmp_path))
+                         ckpt_every_n_steps=2, ckpt_dir=str(tmp_path),
+                         gradflow_every_n_steps=2)
     trainer = Trainer(cfg, tcfg, dp_size=1)
     metrics = trainer.fit(_batches(cfg, 5))
     assert "loss" in metrics and np.isfinite(metrics["loss"])
     assert int(jax.device_get(trainer.state.step)) == 3
+    assert trainer._host_step == 3  # host counter mirrors the device step
 
     # metrics were logged as JSONL
     lines = [json.loads(l) for l in
              (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert len(lines) >= 3
     assert any("train/loss" in l for l in lines)
+    # per-parameter gradient flow logged on its cadence (step 2), not others
+    gf_lines = [l for l in lines
+                if any(k.startswith("train/gradflow/") for k in l)]
+    assert gf_lines and all(l["step"] == 2 for l in gf_lines)
+    gf = gf_lines[0]
+    vals = [v for k, v in gf.items() if k.startswith("train/gradflow/")]
+    assert len(vals) > 20 and all(np.isfinite(v) and v >= 0 for v in vals)
 
     # checkpoint written at step 2 and restorable
     trainer2 = Trainer(cfg, tcfg, dp_size=1)
