@@ -172,6 +172,41 @@ class PropheseeEvaluator:
         self._labels.clear()
         self._predictions.clear()
 
+    # -- multi-host buffer exchange ----------------------------------------
+    # The reference reduces the final mAP across ranks
+    # (modules/detection.py:319-334); we instead exchange the raw protocol
+    # buffers so every process evaluates the identical full set (same
+    # best-checkpoint decision everywhere, no metric averaging skew).
+
+    def state_bytes(self) -> bytes:
+        """Serialize the per-frame GT/prediction buffers."""
+        import io
+
+        bio = io.BytesIO()
+        np.savez(
+            bio,
+            label_lens=np.asarray([len(a) for a in self._labels], np.int64),
+            labels=(np.concatenate(self._labels) if self._labels
+                    else np.zeros(0, BBOX_DTYPE)),
+            pred_lens=np.asarray([len(a) for a in self._predictions], np.int64),
+            preds=(np.concatenate(self._predictions) if self._predictions
+                   else np.zeros(0, BBOX_DTYPE)))
+        return bio.getvalue()
+
+    def extend_from_bytes(self, payload: bytes) -> None:
+        """Append another process's serialized buffers."""
+        import io
+
+        data = np.load(io.BytesIO(payload))
+        for lens_key, flat_key, target in (
+                ("label_lens", "labels", self._labels),
+                ("pred_lens", "preds", self._predictions)):
+            # field-wise copy: np.save normalizes the aligned/padded
+            # BBOX_DTYPE layout (itemsize 40) to the packed equivalent
+            flat = data[flat_key].astype(BBOX_DTYPE)
+            offsets = np.concatenate(([0], np.cumsum(data[lens_key])))
+            target.extend(flat[s:e] for s, e in zip(offsets[:-1], offsets[1:]))
+
     def evaluate_buffer(self, img_height: int, img_width: int
                         ) -> Optional[Dict[str, float]]:
         if not self.has_data():

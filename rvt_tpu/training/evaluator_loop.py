@@ -110,6 +110,13 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
     if pending is not None:
         consume(*pending)
 
+    # multi-host: merge every process's shard so all processes evaluate the
+    # identical full set (reference reduces the metric across ranks instead,
+    # modules/detection.py:319-334). No-op single-process.
+    from rvt_tpu.parallel.multihost import merge_evaluator_buffers
+
+    merge_evaluator_buffers(evaluator)
+
     if not evaluator.has_data():
         return None
     h, w = cfg.dataset.dataloading_hw

@@ -157,7 +157,12 @@ class Trainer:
                                 {f"train/{k}" if not k.startswith("train/")
                                  else k: v for k, v in metrics.items()})
 
-            if (step_idx + 1) % self.tcfg.ckpt_every_n_steps == 0:
+            # only process 0 writes checkpoints (every process calling
+            # orbax save on shared storage would collide; all processes
+            # compute the identical val metric after the buffer merge, so
+            # the retention decision is consistent anyway)
+            is_main = jax.process_index() == 0
+            if (step_idx + 1) % self.tcfg.ckpt_every_n_steps == 0 and is_main:
                 self.ckpt.save(jax.device_get(self.state), step_idx + 1)
 
             if (eval_fn is not None and self.tcfg.val_every_n_steps and
@@ -168,6 +173,7 @@ class Trainer:
                 if val_metrics:
                     self.logger.log(step_idx + 1,
                                     {f"val/{k}": v for k, v in val_metrics.items()})
-                    self.ckpt.save(jax.device_get(self.state), step_idx + 1,
-                                   metric=val_metrics.get(self.tcfg.monitor))
+                    if is_main:
+                        self.ckpt.save(jax.device_get(self.state), step_idx + 1,
+                                       metric=val_metrics.get(self.tcfg.monitor))
         return last_metrics

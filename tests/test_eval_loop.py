@@ -84,3 +84,106 @@ def test_run_streaming_eval(small_dataset, tmp_path):
 
     img = np.asarray(Image.open(panels[0]))
     assert img.shape == (64, 80, 3)
+
+
+def test_multihost_sharded_eval_merges_to_full_metrics(small_dataset):
+    """Simulated 2-process eval: recordings sharded per process
+    (EvalStreamScheduler shard_index/num_shards), per-shard Prophesee
+    buffers exchanged via the serialized-buffer path, merged metrics must
+    equal the unsharded single-process metrics (round-1 VERDICT #8: each
+    host previously scored only its own shard)."""
+    from rvt_tpu.parallel import multihost
+
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=5,
+                 max_labels_per_frame=8, max_labeled_frames=4)
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0))
+    recs = [Recording(p, cfg.dataset.ev_repr_name, original_hw=(64, 80),
+                      max_labels_per_frame=8)
+            for p in sorted(small_dataset.iterdir())]
+    views = [StreamView(r, cfg.dataset.sequence_length) for r in recs]
+
+    # ground truth: unsharded eval
+    full = run_streaming_eval(model, variables, cfg,
+                              iter(EvalStreamScheduler(views, batch_size=1)),
+                              batch_size=1)
+    assert full is not None
+
+    # simulate two processes: capture each shard's buffers, then let the
+    # "last process" merge all of them before evaluating
+    shard_bytes = []
+    real_merge = multihost.merge_evaluator_buffers
+
+    def fake_merge(evaluator):
+        shard_bytes.append(evaluator.state_bytes())
+        if len(shard_bytes) == 2:  # act as the allgather on process 1
+            evaluator.extend_from_bytes(shard_bytes[0])
+
+    multihost.merge_evaluator_buffers = fake_merge
+    try:
+        m0 = run_streaming_eval(
+            model, variables, cfg,
+            iter(EvalStreamScheduler(views, batch_size=1,
+                                     shard_index=0, num_shards=2)),
+            batch_size=1)
+        merged = run_streaming_eval(
+            model, variables, cfg,
+            iter(EvalStreamScheduler(views, batch_size=1,
+                                     shard_index=1, num_shards=2)),
+            batch_size=1)
+    finally:
+        multihost.merge_evaluator_buffers = real_merge
+    assert merged is not None
+    for k, v in full.items():
+        np.testing.assert_allclose(merged[k], v, atol=1e-12, err_msg=k)
+    # sanity: both shards produced non-empty buffers (one recording each)
+    assert len(shard_bytes) == 2
+    from rvt_tpu.evaluation.prophesee import PropheseeEvaluator
+    for payload in shard_bytes:
+        ev = PropheseeEvaluator("gen1")
+        ev.extend_from_bytes(payload)
+        assert ev.has_data()
+    del m0
+
+
+def test_allgather_bytes_single_process_identity():
+    from rvt_tpu.parallel.multihost import allgather_bytes
+
+    assert allgather_bytes(b"abc") == [b"abc"]
+
+
+def test_evaluator_buffer_serialization_roundtrip():
+    from rvt_tpu.evaluation.prophesee import BBOX_DTYPE, PropheseeEvaluator
+
+    rng = np.random.RandomState(0)
+
+    def frames(n, seed):
+        out = []
+        r = np.random.RandomState(seed)
+        for j in range(n):
+            m = r.randint(0, 4)
+            a = np.zeros(m, BBOX_DTYPE)
+            a["t"] = int(6e5) + j * 100_000  # one timestamp per frame
+            a["x"], a["y"] = r.uniform(0, 50, m), r.uniform(0, 40, m)
+            a["w"], a["h"] = r.uniform(20, 40, m), r.uniform(15, 30, m)
+            a["class_id"] = r.randint(0, 2, m)
+            a["class_confidence"] = r.uniform(0, 1, m)
+            out.append(a)
+        return out
+
+    ev_a = PropheseeEvaluator("gen1")
+    ev_a.add_labels(frames(5, 1))
+    ev_a.add_predictions(frames(5, 2))
+    ev_b = PropheseeEvaluator("gen1")
+    ev_b.add_labels(frames(3, 3))
+    ev_b.add_predictions(frames(3, 4))
+
+    merged = PropheseeEvaluator("gen1")
+    merged.extend_from_bytes(ev_a.state_bytes())
+    merged.extend_from_bytes(ev_b.state_bytes())
+    assert len(merged._labels) == 8 and len(merged._predictions) == 8
+    for got, want in zip(merged._labels, ev_a._labels + ev_b._labels):
+        np.testing.assert_array_equal(got, want)
+    ma = merged.evaluate_buffer(64, 80)
+    # merged evaluation runs and covers both shards' frames
+    assert ma is not None
+    del rng
