@@ -201,19 +201,47 @@ class DropPath(nn.Module):
 
 class PartitionAttention(nn.Module):
     """LN -> partition -> MHSA -> reverse -> LS -> residual; LN -> MLP -> LS
-    -> residual (maxvit.py:185-270). ``partition_window=False`` = grid."""
+    -> residual (maxvit.py:185-270). ``partition_window=False`` = grid.
+
+    With ``fused=True`` (serving) the whole block runs as one Pallas kernel
+    (rvt_tpu/ops/fused_attention.py) — same math, every intermediate
+    VMEM-resident. The XLA path below remains the training/differentiable
+    and structural-init path; both produce the f32 residual stream.
+    """
 
     dim: int
     partition_window: bool
     cfg: AttentionConfig
     skip_first_norm: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False
+
+    def _fused_supported(self, deterministic: bool) -> bool:
+        cfg = self.cfg
+        return (self.fused and deterministic and not self.is_initializing()
+                and self.dtype == jnp.bfloat16 and not cfg.mlp_gated
+                and cfg.attention_bias and cfg.mlp_bias
+                and cfg.ls_init_value > 0 and cfg.drop_path == 0.0
+                and cfg.drop_mlp == 0.0 and cfg.mlp_activation == "gelu")
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         cfg = self.cfg
         P = tuple(cfg.partition_size)
         img_size = x.shape[1:3]
+
+        if self._fused_supported(deterministic):
+            from rvt_tpu.ops.fused_attention import (
+                attention_block_params, fused_partition_attention)
+
+            params = attention_block_params(self.variables["params"],
+                                            self.skip_first_norm)
+            return fused_partition_attention(
+                x, params, heads=self.dim // cfg.dim_head,
+                dim_head=cfg.dim_head, part=P,
+                window_mode=self.partition_window,
+                skip_first_norm=self.skip_first_norm, eps=cfg.norm_eps,
+                interpret=jax.default_backend() == "cpu")
 
         shortcut = x
         if not self.skip_first_norm:
@@ -254,15 +282,16 @@ class MaxVitAttentionPair(nn.Module):
     cfg: AttentionConfig
     skip_first_norm: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = PartitionAttention(dim=self.dim, partition_window=True, cfg=self.cfg,
                                skip_first_norm=self.skip_first_norm,
-                               dtype=self.dtype,
+                               dtype=self.dtype, fused=self.fused,
                                name="att_window")(x, deterministic)
         x = PartitionAttention(dim=self.dim, partition_window=False, cfg=self.cfg,
-                               dtype=self.dtype,
+                               dtype=self.dtype, fused=self.fused,
                                name="att_grid")(x, deterministic)
         return x
 
@@ -320,9 +349,12 @@ class ConvDownsample(nn.Module):
                                     self.in_channels, self.dim_out),
                              name="conv")()
             wk = fold_stem_kernel(w7)
-            if self.dtype is not None:
-                x = x.astype(self.dtype)
-                wk = wk.astype(self.dtype)
+            # Cast unconditionally: the input may arrive in its uint8
+            # storage dtype (the eval scan feeds raw window slices so the
+            # full-window float copy is never materialised in HBM).
+            conv_dtype = self.dtype if self.dtype is not None else wk.dtype
+            x = x.astype(conv_dtype)
+            wk = wk.astype(conv_dtype)
             x = jax.lax.conv_general_dilated(
                 x, wk, (1, 1), [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -192,6 +192,35 @@ def test_stacked_histogram_pallas_interpret_matches_jax():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_stacked_histogram_pallas_multitile_clustered():
+    """Multi-row-tile geometry with pathologically clustered events: covers
+    the kernel's chunk-clamp masking (tile event range not 128-aligned,
+    range longer than one chunk) and empty tiles. Run on the real chip via
+    tools/verify_tpu_kernels.py; interpret mode here."""
+    from rvt_tpu.ops.voxelization import (stacked_histogram,
+                                          stacked_histogram_pallas_batched)
+
+    rng = np.random.RandomState(7)
+    H, W, bins = 96, 24, 2  # 2*2*96 = 384 rows -> 3 row tiles
+    B, N = 2, 2048
+    # lane 0: all events on one pixel (single tile gets every event);
+    # lane 1: uniform with a short valid prefix.
+    x = rng.randint(0, W, (B, N)).astype(np.int32)
+    y = rng.randint(0, H, (B, N)).astype(np.int32)
+    x[0], y[0] = 5, 17
+    p = rng.randint(0, 2, (B, N)).astype(np.int32)
+    t = np.sort(rng.randint(0, 50000, (B, N)), axis=1).astype(np.int32)
+    counts = np.asarray([N, 801], np.int32)
+
+    args = tuple(jnp.asarray(a) for a in (x, y, p, t, counts))
+    ref = np.asarray(jax.vmap(
+        lambda xi, yi, pi, ti, n: stacked_histogram(xi, yi, pi, ti, n,
+                                                    bins, H, W))(*args))
+    got = np.asarray(stacked_histogram_pallas_batched(
+        *args, bins=bins, height=H, width=W, chunk=1024, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_raw_inference_pipeline():
     """Raw events -> voxelize -> detector -> NMS, one jit region (CPU,
     interpret-mode Pallas, tiny geometry)."""
