@@ -201,47 +201,19 @@ class DropPath(nn.Module):
 
 class PartitionAttention(nn.Module):
     """LN -> partition -> MHSA -> reverse -> LS -> residual; LN -> MLP -> LS
-    -> residual (maxvit.py:185-270). ``partition_window=False`` = grid.
-
-    With ``fused=True`` (serving) the whole block runs as one Pallas kernel
-    (rvt_tpu/ops/fused_attention.py) — same math, every intermediate
-    VMEM-resident. The XLA path below remains the training/differentiable
-    and structural-init path; both produce the f32 residual stream.
-    """
+    -> residual (maxvit.py:185-270). ``partition_window=False`` = grid."""
 
     dim: int
     partition_window: bool
     cfg: AttentionConfig
     skip_first_norm: bool = False
     dtype: Optional[jnp.dtype] = None
-    fused: bool = False
-
-    def _fused_supported(self, deterministic: bool) -> bool:
-        cfg = self.cfg
-        return (self.fused and deterministic and not self.is_initializing()
-                and self.dtype == jnp.bfloat16 and not cfg.mlp_gated
-                and cfg.attention_bias and cfg.mlp_bias
-                and cfg.ls_init_value > 0 and cfg.drop_path == 0.0
-                and cfg.drop_mlp == 0.0 and cfg.mlp_activation == "gelu")
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         cfg = self.cfg
         P = tuple(cfg.partition_size)
         img_size = x.shape[1:3]
-
-        if self._fused_supported(deterministic):
-            from rvt_tpu.ops.fused_attention import (
-                attention_block_params, fused_partition_attention)
-
-            params = attention_block_params(self.variables["params"],
-                                            self.skip_first_norm)
-            return fused_partition_attention(
-                x, params, heads=self.dim // cfg.dim_head,
-                dim_head=cfg.dim_head, part=P,
-                window_mode=self.partition_window,
-                skip_first_norm=self.skip_first_norm, eps=cfg.norm_eps,
-                interpret=jax.default_backend() == "cpu")
 
         shortcut = x
         if not self.skip_first_norm:
@@ -276,7 +248,14 @@ class PartitionAttention(nn.Module):
 
 
 class MaxVitAttentionPair(nn.Module):
-    """Window attention followed by grid attention (maxvit_rnn.py:108-127)."""
+    """Window attention followed by grid attention (maxvit_rnn.py:108-127).
+
+    With ``fused=True`` (serving) the whole pair runs as one Pallas kernel
+    per image (rvt_tpu/ops/fused_attention.py) — same math, every
+    intermediate VMEM-resident. The XLA path below remains the
+    training/differentiable and structural-init path; both produce the
+    f32 residual stream.
+    """
 
     dim: int
     cfg: AttentionConfig
@@ -284,14 +263,43 @@ class MaxVitAttentionPair(nn.Module):
     dtype: Optional[jnp.dtype] = None
     fused: bool = False
 
+    def _fused_supported(self, deterministic: bool, x: Array) -> bool:
+        cfg = self.cfg
+        # VMEM bound: the kernel holds the f32 residual, qkv and MLP hidden
+        # per image — beyond ~512k elements/image (gen4 stage 1) the Mosaic
+        # scoped-vmem stack overflows; fall back to the XLA path there.
+        per_image = x.shape[1] * x.shape[2] * x.shape[3]
+        return (self.fused and deterministic and not self.is_initializing()
+                and self.dtype == jnp.bfloat16 and not cfg.mlp_gated
+                and cfg.attention_bias and cfg.mlp_bias
+                and cfg.ls_init_value > 0 and cfg.drop_path == 0.0
+                and cfg.drop_mlp == 0.0 and cfg.mlp_activation == "gelu"
+                and per_image <= 512 * 1024)
+
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self._fused_supported(deterministic, x):
+            from rvt_tpu.ops.fused_attention import (attention_block_params,
+                                                     fused_attention_pair)
+
+            p = self.variables["params"]
+            return fused_attention_pair(
+                x,
+                attention_block_params(p["att_window"], self.skip_first_norm),
+                attention_block_params(p["att_grid"], False),
+                heads=self.dim // self.cfg.dim_head,
+                dim_head=self.cfg.dim_head,
+                part=tuple(self.cfg.partition_size),
+                skip_first_norm=self.skip_first_norm,
+                eps=self.cfg.norm_eps,
+                interpret=jax.default_backend() == "cpu")
+
         x = PartitionAttention(dim=self.dim, partition_window=True, cfg=self.cfg,
                                skip_first_norm=self.skip_first_norm,
-                               dtype=self.dtype, fused=self.fused,
+                               dtype=self.dtype,
                                name="att_window")(x, deterministic)
         x = PartitionAttention(dim=self.dim, partition_window=False, cfg=self.cfg,
-                               dtype=self.dtype, fused=self.fused,
+                               dtype=self.dtype,
                                name="att_grid")(x, deterministic)
         return x
 

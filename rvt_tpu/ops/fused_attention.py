@@ -1,31 +1,42 @@
-"""Fused MaxViT partition-attention block as a single Pallas TPU kernel.
+"""Fused MaxViT attention as Pallas TPU kernels.
 
-One ``PartitionAttention`` block (models/layers.py:202-247; reference
-``maxvit.py:185-270``) is, on the XLA path, ~20 HBM-roundtrip fusions per
-scan step: LN stat reduces in awkward layouts, qkv head-layout copies,
-f32 softmax materialisation, LayerScale/residual convert chains. On a v5e
-this chain — not the matmuls — dominates streaming inference (see
-docs/PERF.md). This kernel runs the whole block per batch image with every
-intermediate VMEM-resident:
+A MaxViT block pair (window attention + MLP, then grid attention + MLP;
+models/layers.py, reference ``maxvit.py:185-270`` / ``maxvit_rnn.py:108``)
+is, on the XLA path, ~40 HBM-roundtrip fusions per scan step: LN stat
+reduces in awkward layouts, qkv head-layout copies, f32 softmax
+materialisation, LayerScale/residual convert chains. On a v5e this chain —
+not the matmuls — dominates streaming inference (docs/PERF.md). Here the
+whole pair runs as ONE kernel per batch image with every intermediate
+VMEM-resident:
 
-    [LN1] -> window/grid partition -> qkv -> per-head attention
-    (f32 softmax) -> proj -> LayerScale -> +residual
-    -> LN2 -> MLP (fc1/gelu/fc2) -> LayerScale -> +residual
+    [LN] -> window partition -> qkv -> per-head attention (f32 softmax)
+    -> proj -> LayerScale -> +residual -> LN -> MLP -> LS -> +residual
+    -> LN -> grid partition -> ... same ... -> +residual
 
-Numerics mirror the XLA path: matmuls in bf16 with f32 accumulation, LN
-statistics and softmax in f32, LayerScale and residual accumulation in f32
-(flax promotes bf16*f32 gamma to f32), output f32. Grid = (batch,); weights
-use constant index maps so Mosaic keeps them VMEM-resident across programs.
+Mosaic-shaped choices (each probed on real v5e hardware):
+  * heads are unrolled with static lane slices — Mosaic cannot lane-split
+    reshapes ([T, 3C] -> [T, h, 3dh]) or i1 shape-casts,
+  * scores are computed TRANSPOSED, ``k @ q^T`` -> [parts, N_k, N_q], so
+    the softmax reduction runs over sublanes instead of lanes (~2x faster
+    on the VPU for these 80-token partitions),
+  * matmuls run with ``precision=DEFAULT`` — the global f32
+    matmul-precision pin (rvt_tpu/__init__.py) is for checkpoint-parity of
+    f32 convs and makes Mosaic reject bf16 operands,
+  * LN statistics, softmax, LayerScale and the residual stream are f32,
+    matching the XLA path's dtype promotion exactly.
 
-Supported config envelope (the shipped RVT configs): non-gated MLP,
-attention/MLP bias on, LayerScale active, no DropPath/dropout,
-deterministic (serving) mode. The flax module falls back to the XLA path
-otherwise (models/layers.py).
+When both sub-blocks' weights don't fit VMEM together (stage 4, C=512)
+the pair is executed as two single-block kernels; when even one block's
+working set exceeds VMEM (gen4 stage 1 spatial size) the flax module
+falls back to the XLA path entirely (models/layers.py).
+
+Serving-only: the kernels define no VJP; training and module init always
+take the XLA path.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,17 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# matmul settings inside the kernel: bf16 operands, f32 accumulation.
-# precision=DEFAULT overrides the global f32 matmul-precision pin
-# (rvt_tpu/__init__.py) which Mosaic rejects for bf16 operands.
 _DOT = dict(preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
+
+# params per sub-block: [ln1_s, ln1_b] (absent when skip_first_norm),
+# qkv_w, qkv_b, proj_w, proj_b, ls1_gamma, ln2_s, ln2_b, fc1_w, fc1_b,
+# fc2_w, fc2_b, ls2_gamma
+_N_PARAMS = 14
+_N_PARAMS_SFN = 12
 
 
 def _layer_norm_f32(x_f32: Array, scale_bf16: Array, bias_bf16: Array,
                     eps: float) -> Array:
-    """flax LayerNorm semantics: f32 stats (fast variance), scale/bias
-    applied after casting to the compute dtype, result cast to bf16."""
+    """flax LayerNorm semantics: f32 stats (fast variance), affine applied
+    in f32, result cast to bf16."""
     mu = jnp.mean(x_f32, axis=-1, keepdims=True)
     var = jnp.maximum(
         jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True) - mu * mu, 0.0)
@@ -54,10 +68,9 @@ def _layer_norm_f32(x_f32: Array, scale_bf16: Array, bias_bf16: Array,
 
 
 def _erf_f32(x: Array) -> Array:
-    """erf for the Mosaic kernel (lax.erf has no Pallas TPU lowering).
-    Abramowitz & Stegun 7.1.26 rational approximation: max abs error
-    1.5e-7 — two decades below bf16 resolution, so gelu output is
-    bit-identical after the bf16 cast for all practical inputs."""
+    """erf for Mosaic (lax.erf has no Pallas TPU lowering). Abramowitz &
+    Stegun 7.1.26: max abs error 1.5e-7 — far below bf16 resolution, so
+    gelu output is bit-identical after the bf16 cast."""
     s = jnp.sign(x)
     a = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * a)
@@ -72,38 +85,30 @@ def _gelu_exact(x_bf16: Array) -> Array:
     return y.astype(jnp.bfloat16)
 
 
-def _attention_block_kernel(*refs, H: int, W: int, C: int, heads: int,
-                            dim_head: int, part: Tuple[int, int],
-                            window_mode: bool, skip_first_norm: bool,
-                            eps: float):
-    if skip_first_norm:
-        (x_ref, qkv_w, qkv_b, proj_w, proj_b, g1, ln2_s, ln2_b,
-         fc1_w, fc1_b, fc2_w, fc2_b, g2, o_ref) = refs
-        ln1_s = ln1_b = None
-    else:
-        (x_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, g1, ln2_s, ln2_b,
-         fc1_w, fc1_b, fc2_w, fc2_b, g2, o_ref) = refs
-
+def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
+               skip_first_norm: bool, x_in_bf16: Array, H: int, W: int,
+               C: int, heads: int, dh: int, part: Tuple[int, int],
+               eps: float) -> Array:
+    """One PartitionAttention sub-block on the f32 residual R. Returns the
+    updated residual. ``x_in_bf16`` is only used when skip_first_norm (the
+    downsample's LN output enters attention unnormalised)."""
     ph, pw = part
     nh, nw = H // ph, W // pw
     n_tokens = ph * pw
     n_parts = nh * nw
     T = H * W
-    dh = dim_head
-
-    R = x_ref[0].astype(jnp.float32)  # residual accumulator [H, W, C]
-
-    # ---- attention sub-block -------------------------------------------
+    i = 0
     if skip_first_norm:
-        xa = x_ref[0].astype(jnp.bfloat16)
+        xa = x_in_bf16
     else:
-        xa = _layer_norm_f32(R, ln1_s[...], ln1_b[...], eps)
+        xa = _layer_norm_f32(R, prm[0][...], prm[1][...], eps)
+        i = 2
+    (qkv_w, qkv_b, proj_w, proj_b, g1, ln2_s, ln2_b,
+     fc1_w, fc1_b, fc2_w, fc2_b, g2) = prm[i:i + 12]
 
     if window_mode:
-        # [H, W, C] -> [nh, ph, nw, pw, C] -> [nh, nw, ph, pw, C]
         p = xa.reshape(nh, ph, nw, pw, C).transpose(0, 2, 1, 3, 4)
     else:
-        # grid: [gh, nh, gw, nw, C] -> [nh, nw, gh, gw, C]
         p = xa.reshape(ph, nh, pw, nw, C).transpose(1, 3, 0, 2, 4)
     tokens = p.reshape(n_parts * n_tokens, C)
 
@@ -111,29 +116,27 @@ def _attention_block_kernel(*refs, H: int, W: int, C: int, heads: int,
                               dimension_numbers=(((1,), (0,)), ((), ())),
                               **_DOT).astype(jnp.bfloat16) + qkv_b[...]
     qkv = qkv.reshape(n_parts, n_tokens, 3 * C)
-    # Per-head attention via static lane slices (the packed layout is
-    # [head0: q|k|v, head1: q|k|v, ...], 3*dh lanes per head) — Mosaic
-    # cannot lane-split reshapes, so heads are unrolled.
     head_outs = []
-    for i in range(heads):
-        base = i * 3 * dh
+    for h_i in range(heads):
+        base = h_i * 3 * dh
         q = qkv[:, :, base:base + dh]
         k = qkv[:, :, base + dh:base + 2 * dh]
         v = qkv[:, :, base + 2 * dh:base + 3 * dh]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), **_DOT)
-        probs = jax.nn.softmax(scores * (dh ** -0.5),
-                               axis=-1).astype(jnp.bfloat16)
+        # transposed scores [nP, N_k, N_q]: softmax reduces over sublanes
+        scores_t = jax.lax.dot_general(
+            k, q, dimension_numbers=(((2,), (2,)), ((0,), (0,))), **_DOT)
+        probs_t = jax.nn.softmax(scores_t * (dh ** -0.5),
+                                 axis=1).astype(jnp.bfloat16)
         o = jax.lax.dot_general(
-            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))), **_DOT)
+            probs_t, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            **_DOT)
         head_outs.append(o.astype(jnp.bfloat16))
-    out = jnp.concatenate(head_outs, axis=-1)  # [nP, N, C]
+    out = jnp.concatenate(head_outs, axis=-1)  # [nP, N_q, C]
 
     out = out.reshape(n_parts * n_tokens, C)
     out = jax.lax.dot_general(out, proj_w[...],
                               dimension_numbers=(((1,), (0,)), ((), ())),
                               **_DOT).astype(jnp.bfloat16) + proj_b[...]
-
     out = out.reshape(n_parts, n_tokens, C)
     if window_mode:
         out = out.reshape(nh, nw, ph, pw, C).transpose(0, 2, 1, 3, 4)
@@ -142,7 +145,6 @@ def _attention_block_kernel(*refs, H: int, W: int, C: int, heads: int,
     out = out.reshape(H, W, C)
     R = R + out.astype(jnp.float32) * g1[...].astype(jnp.float32)
 
-    # ---- MLP sub-block --------------------------------------------------
     y = _layer_norm_f32(R, ln2_s[...], ln2_b[...], eps).reshape(T, C)
     y = jax.lax.dot_general(y, fc1_w[...],
                             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -152,29 +154,43 @@ def _attention_block_kernel(*refs, H: int, W: int, C: int, heads: int,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             **_DOT).astype(jnp.bfloat16) + fc2_b[...]
     y = y.reshape(H, W, C)
-    R = R + y.astype(jnp.float32) * g2[...].astype(jnp.float32)
+    return R + y.astype(jnp.float32) * g2[...].astype(jnp.float32)
 
+
+def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
+    """blocks: sequence of (window_mode, skip_first_norm, n_params)."""
+    x_ref = refs[0]
+    o_ref = refs[-1]
+    prms = refs[1:-1]
+    R = x_ref[0].astype(jnp.float32)
+    x_bf16 = x_ref[0].astype(jnp.bfloat16)
+    off = 0
+    for window_mode, sfn, n in blocks:
+        R = _one_block(R, prms[off:off + n], window_mode=window_mode,
+                       skip_first_norm=sfn, x_in_bf16=x_bf16, H=H, W=W,
+                       C=C, heads=heads, dh=dh, part=part, eps=eps)
+        off += n
+        x_bf16 = None  # only the first block may skip its input norm
     o_ref[0] = R
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "dim_head", "part", "window_mode",
-                     "skip_first_norm", "eps", "interpret"))
-def fused_partition_attention(x: Array, params: Tuple[Array, ...], *,
-                              heads: int, dim_head: int,
-                              part: Tuple[int, int], window_mode: bool,
-                              skip_first_norm: bool, eps: float,
-                              interpret: bool = False) -> Array:
-    """Run one PartitionAttention block fused. x: [B, H, W, C] (bf16 or
-    f32); params: the flat tuple documented in ``attention_block_params``.
-    Returns f32 [B, H, W, C] (the residual stream, matching the XLA path's
-    promoted dtype)."""
+    static_argnames=("blocks", "heads", "dim_head", "part", "eps",
+                     "interpret"))
+def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
+                           blocks: Tuple[Tuple[bool, bool, int], ...],
+                           heads: int, dim_head: int,
+                           part: Tuple[int, int], eps: float,
+                           interpret: bool = False) -> Array:
+    """Run one or more PartitionAttention sub-blocks as a single fused
+    kernel. x: [B, H, W, C] (bf16 or f32); params: concatenated per-block
+    tuples (see ``attention_block_params``). Returns the f32 residual
+    stream [B, H, W, C] (the XLA path's promoted dtype)."""
     B, H, W, C = x.shape
     kernel = functools.partial(
-        _attention_block_kernel, H=H, W=W, C=C, heads=heads,
-        dim_head=dim_head, part=part, window_mode=window_mode,
-        skip_first_norm=skip_first_norm, eps=eps)
+        _blocks_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
+        dh=dim_head, part=part, eps=eps)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params]
     return pl.pallas_call(
         kernel,
@@ -186,6 +202,38 @@ def fused_partition_attention(x: Array, params: Tuple[Array, ...], *,
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         interpret=interpret,
     )(x, *params)
+
+
+def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
+                         params_grid: Tuple[Array, ...], *, heads: int,
+                         dim_head: int, part: Tuple[int, int],
+                         skip_first_norm: bool, eps: float,
+                         interpret: bool = False) -> Array:
+    """Window attention followed by grid attention (one MaxViT block).
+
+    Fused into a single kernel when both blocks' weights fit VMEM
+    together; otherwise two single-block kernels (stage 4's C=512 weight
+    set is ~12.6 MB in bf16 — pairing would exceed the 16 MB budget with
+    the activations)."""
+    C = x.shape[-1]
+    weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C)
+    act_bytes = 14 * x.shape[1] * x.shape[2] * C
+    if weight_bytes + act_bytes <= 10 * 2 ** 20:
+        blocks = ((True, skip_first_norm,
+                   _N_PARAMS_SFN if skip_first_norm else _N_PARAMS),
+                  (False, False, _N_PARAMS))
+        return fused_attention_blocks(
+            x, params_window + params_grid, blocks=blocks, heads=heads,
+            dim_head=dim_head, part=part, eps=eps, interpret=interpret)
+    n_win = _N_PARAMS_SFN if skip_first_norm else _N_PARAMS
+    y = fused_attention_blocks(
+        x, params_window, blocks=((True, skip_first_norm, n_win),),
+        heads=heads, dim_head=dim_head, part=part, eps=eps,
+        interpret=interpret)
+    return fused_attention_blocks(
+        y, params_grid, blocks=((False, False, _N_PARAMS),),
+        heads=heads, dim_head=dim_head, part=part, eps=eps,
+        interpret=interpret)
 
 
 def attention_block_params(p: dict, skip_first_norm: bool

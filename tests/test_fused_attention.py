@@ -1,0 +1,112 @@
+"""Fused Pallas attention pair (ops/fused_attention.py) vs the XLA path.
+
+On CPU the kernel runs in interpret mode (models/layers.py picks
+``interpret=jax.default_backend() == "cpu"``); the same comparison runs
+lowered on the real chip via tools/verify_tpu_kernels.py and the bench.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rvt_tpu.config import AttentionConfig
+from rvt_tpu.models.layers import MaxVitAttentionPair
+
+GEOMS = [
+    # (H, W, C, dim_head, part, skip_first_norm)
+    (16, 20, 64, 32, (8, 10), True),
+    (16, 20, 64, 32, (8, 10), False),
+    (8, 10, 128, 32, (8, 10), True),    # single window/grid partition
+    (16, 20, 48, 24, (8, 10), True),    # small-model head dim
+    (12, 20, 64, 32, (6, 10), False),   # gen4 partition
+    (8, 10, 512, 32, (8, 10), True),    # stage-4 dims: two-kernel split
+]
+
+
+def _build(geom, fused):
+    H, W, C, dh, part, sfn = geom
+    cfg = AttentionConfig(partition_size=part, dim_head=dh)
+    mod = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=sfn,
+                              dtype=jnp.bfloat16, fused=fused)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, H, W, C), jnp.bfloat16)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+    # perturb LN/LS params away from their identity-ish init
+    variables = jax.tree.map(
+        lambda a: a + 0.05 * jnp.asarray(
+            np.random.RandomState(3).randn(*a.shape), a.dtype), variables)
+    return mod, variables, x
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_fused_pair_matches_xla_path(geom):
+    mod_ref, variables, x = _build(geom, fused=False)
+    mod_fused, _, _ = _build(geom, fused=True)
+    ref = np.asarray(mod_ref.apply(variables, x), np.float32)
+    got = np.asarray(mod_fused.apply(variables, x), np.float32)
+    assert got.dtype == ref.dtype
+    # bf16-rounding-order differences only (inputs are unit scale)
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+    assert np.abs(got - ref).mean() < 3e-3
+
+
+def test_fused_falls_back_when_oversized():
+    """gen4 stage-1 geometry exceeds the kernel VMEM envelope -> the module
+    must use the XLA path (bit-identical to fused=False)."""
+    H, W, C = 96, 160, 64
+    cfg = AttentionConfig(partition_size=(6, 10), dim_head=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, H, W, C), jnp.bfloat16)
+    mod_ref = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                                  dtype=jnp.bfloat16, fused=False)
+    variables = mod_ref.init(jax.random.PRNGKey(1), x)
+    mod_fused = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                                    dtype=jnp.bfloat16, fused=True)
+    ref = np.asarray(mod_ref.apply(variables, x))
+    got = np.asarray(mod_fused.apply(variables, x))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_detector_eval_matches_xla_path():
+    """Full tiny detector, fused on/off: head outputs must agree within
+    bf16 noise through the whole backbone (4 stages x window+grid)."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector, zero_states
+
+    cfg = preset("gen1", "tiny")
+    cfg = replace(cfg, model=replace(cfg.model, compute_dtype="bfloat16"))
+    model_ref, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                         batch_size=1)
+    cfg_f = replace(cfg, model=replace(
+        cfg.model,
+        backbone=replace(cfg.model.backbone, fused_attention=True)))
+    model_fused = RVTDetector(cfg=cfg_f.model)
+    H, W = cfg.model.backbone.in_res_hw
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(0, 8, (1, H, W, 20)), jnp.float32)
+    states = zero_states(cfg.model.backbone, 1)
+
+    ref, _ = model_ref.apply(variables, x, states)
+    got, _ = model_fused.apply(variables, x, states)
+    ref, got = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    scale = np.abs(ref).mean()
+    assert np.abs(got - ref).max() < 0.05 * max(scale, 1.0)
+    assert np.abs(got - ref).mean() < 5e-3 * max(scale, 1.0)
+
+
+def test_fused_ignored_in_training_mode():
+    """deterministic=False must take the XLA path (differentiable)."""
+    geom = (16, 20, 64, 32, (8, 10), False)
+    mod, variables, x = _build(geom, fused=True)
+
+    def loss(v):
+        return jnp.sum(mod.apply(v, x, False,
+                                 rngs={"dropout": jax.random.PRNGKey(0)})
+                       .astype(jnp.float32))
+
+    g = jax.grad(loss)(variables)
+    norms = [float(jnp.linalg.norm(leaf.astype(jnp.float32)))
+             for leaf in jax.tree.leaves(g)]
+    assert all(np.isfinite(n) for n in norms) and any(n > 0 for n in norms)
