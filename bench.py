@@ -45,7 +45,8 @@ def main() -> None:
     cfg = preset("gen1", "base")
     cfg = replace(cfg, model=replace(
         cfg.model, compute_dtype="bfloat16",
-        backbone=replace(cfg.model.backbone, stem_s2d=True)))
+        backbone=replace(cfg.model.backbone, stem_s2d=True,
+                         fused_kernels=True)))
     model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
                                      batch_size=BATCH)
     H, W = cfg.model.backbone.in_res_hw

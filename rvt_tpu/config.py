@@ -76,10 +76,11 @@ class BackboneConfig:
     # into an equivalent 2x2 conv (see rvt_tpu/ops/s2d.py). The host input
     # pipeline must emit blocked tensors when enabled.
     stem_s2d: bool = False
-    # Serve each attention block as one fused Pallas kernel
-    # (rvt_tpu/ops/fused_attention.py). Inference-only: the flax modules
-    # fall back to the XLA path when training / on non-bf16 compute.
-    fused_attention: bool = False
+    # Serve the backbone hot loop with fused Pallas kernels (one kernel
+    # per attention pair, one per ConvLSTM cell; rvt_tpu/ops/fused_*.py).
+    # Inference-only: the flax modules fall back to the XLA path when
+    # training / on non-bf16 compute / for unsupported block variants.
+    fused_kernels: bool = False
     partition_split_32: int = 2
     embed_dim: int = 64
     dim_multiplier: Tuple[int, ...] = (1, 2, 4, 8)

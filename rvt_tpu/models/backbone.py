@@ -65,11 +65,12 @@ class RVTStage(nn.Module):
             # already layer-normed (maxvit_rnn.py:153).
             x = MaxVitAttentionPair(dim=self.dim_out, cfg=self.cfg.attention,
                                     skip_first_norm=(i == 0), dtype=self.dtype,
-                                    fused=self.cfg.fused_attention,
+                                    fused=self.cfg.fused_kernels,
                                     name=f"block{i}")(x, deterministic)
         h, c = DWSConvLSTM2d(dim=self.dim_out, cfg=self.cfg.lstm,
-                             dtype=self.dtype, name="lstm")(x, h_c,
-                                                            deterministic)
+                             dtype=self.dtype,
+                             fused=self.cfg.fused_kernels,
+                             name="lstm")(x, h_c, deterministic)
         return h, (h, c)
 
 

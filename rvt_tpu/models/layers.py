@@ -389,17 +389,37 @@ class DWSConvLSTM2d(nn.Module):
     ``x``. Gate order matches ``rnn.py:57-66``: sigmoid(forget, input,
     output) then tanh(cell update). The temporal loop lives *outside* in a
     ``lax.scan`` with donated carry — never a Python loop under jit.
+
+    With ``fused=True`` (serving, shipped dws_conv=False variant) the whole
+    cell runs as one Pallas kernel (rvt_tpu/ops/fused_lstm.py).
     """
 
     dim: int
     cfg: LstmConfig
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False
+
+    def _fused_supported(self, deterministic: bool) -> bool:
+        cfg = self.cfg
+        return (self.fused and deterministic and not self.is_initializing()
+                and self.dtype == jnp.bfloat16 and not cfg.dws_conv
+                and cfg.drop_cell_update == 0.0)
 
     @nn.compact
     def __call__(self, x: Array, h_c: Tuple[Array, Array],
                  deterministic: bool = True) -> Tuple[Array, Array]:
         cfg = self.cfg
         h_tm1, c_tm1 = h_c
+
+        if self._fused_supported(deterministic):
+            from rvt_tpu.ops.fused_lstm import fused_conv_lstm
+
+            p = self.variables["params"]["conv1x1"]
+            w = jnp.asarray(p["kernel"], jnp.bfloat16).reshape(
+                2 * self.dim, 4 * self.dim)
+            b = jnp.asarray(p["bias"], jnp.bfloat16).reshape(1, -1)
+            return fused_conv_lstm(x, h_tm1, c_tm1, w, b,
+                                   interpret=jax.default_backend() == "cpu")
 
         if cfg.dws_conv and cfg.dws_conv_only_hidden:
             k = cfg.dws_conv_kernel_size

@@ -67,21 +67,17 @@ def _layer_norm_f32(x_f32: Array, scale_bf16: Array, bias_bf16: Array,
     return y.astype(jnp.bfloat16)
 
 
-def _erf_f32(x: Array) -> Array:
-    """erf for Mosaic (lax.erf has no Pallas TPU lowering). Abramowitz &
-    Stegun 7.1.26: max abs error 1.5e-7 — far below bf16 resolution, so
-    gelu output is bit-identical after the bf16 cast."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-a * a))
-
-
-def _gelu_exact(x_bf16: Array) -> Array:
+def _gelu(x_bf16: Array) -> Array:
+    """gelu for Mosaic (lax.erf has no Pallas TPU lowering). The tanh
+    formulation (one hardware transcendental + 7 VPU ops, vs ~22 for an
+    erf rational approximation) deviates from exact-erf gelu by < 1.1e-3
+    absolute — below a bf16 ULP over the active range, so at most an
+    occasional last-bit difference after the bf16 cast. The VPU time this
+    buys is ~100 us per stage-1 kernel invocation (gelu runs on the 4x
+    expanded MLP hidden, the largest tensor in the block)."""
     xf = x_bf16.astype(jnp.float32)
-    y = xf * (_erf_f32(xf * (2.0 ** -0.5)) + 1.0) * 0.5
+    inner = 0.7978845608028654 * (xf + 0.044715 * xf * xf * xf)
+    y = 0.5 * xf * (1.0 + jnp.tanh(inner))
     return y.astype(jnp.bfloat16)
 
 
@@ -149,7 +145,7 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
     y = jax.lax.dot_general(y, fc1_w[...],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             **_DOT).astype(jnp.bfloat16) + fc1_b[...]
-    y = _gelu_exact(y)
+    y = _gelu(y)
     y = jax.lax.dot_general(y, fc2_w[...],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             **_DOT).astype(jnp.bfloat16) + fc2_b[...]
@@ -200,6 +196,12 @@ def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
         out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        # Stage-1's working set peaks just above the default 16 MB scoped
+        # VMEM stack limit (the f32 gelu intermediates over the 4x MLP
+        # hidden); raise the cap — v5e has 128 MB of VMEM and the grid is
+        # sequential over images, so only ~2 programs are ever live.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(x, *params)
 

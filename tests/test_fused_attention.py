@@ -81,7 +81,7 @@ def test_fused_detector_eval_matches_xla_path():
                                          batch_size=1)
     cfg_f = replace(cfg, model=replace(
         cfg.model,
-        backbone=replace(cfg.model.backbone, fused_attention=True)))
+        backbone=replace(cfg.model.backbone, fused_kernels=True)))
     model_fused = RVTDetector(cfg=cfg_f.model)
     H, W = cfg.model.backbone.in_res_hw
     x = jnp.asarray(

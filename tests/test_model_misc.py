@@ -33,3 +33,49 @@ def test_class_agnostic_nms():
     _, valid_agn = postprocess(jnp.asarray(preds), 2, class_agnostic=True, **kw)
     assert int(valid_aware.sum()) == 2
     assert int(valid_agn.sum()) == 1
+
+
+def test_token_masking_through_scan_backbone():
+    """Token-mask plumbing (maxvit_rnn.py:174-176): with enable_masking on,
+    an all-True stage-1 mask replaces every token with the learned
+    mask_token, so the backbone output is independent of the event input —
+    verified through the full scan_backbone path."""
+    import jax
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector
+    from rvt_tpu.models.backbone import zero_states
+    from rvt_tpu.models.detector import scan_backbone
+
+    cfg = preset("gen1", "tiny", resolution_hw=(32, 32), sequence_length=2,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    cfg = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, enable_masking=True)))
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                     batch_size=1)
+    assert "mask_token" in variables["params"]["backbone"]["stage1"]
+
+    T, B = cfg.dataset.sequence_length, 1
+    H, W = cfg.model.backbone.in_res_hw
+    rng = np.random.RandomState(0)
+    ev_a = jnp.asarray(rng.randint(0, 8, (T, B, H, W, 20)), jnp.float32)
+    ev_b = jnp.asarray(rng.randint(0, 8, (T, B, H, W, 20)), jnp.float32)
+    states = zero_states(cfg.model.backbone, B)
+    hp = H // cfg.model.backbone.stem_patch_size
+    wp = W // cfg.model.backbone.stem_patch_size
+    mask_all = jnp.ones((T, B, hp, wp), bool)
+    mask_none = jnp.zeros((T, B, hp, wp), bool)
+
+    feats_a, _ = scan_backbone(model, variables, ev_a, states, mask_all,
+                               remat=False)
+    feats_b, _ = scan_backbone(model, variables, ev_b, states, mask_all,
+                               remat=False)
+    for fa, fb in zip(feats_a, feats_b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    # and an un-masked run on different inputs must differ (mask is live,
+    # not a constant path)
+    feats_c, _ = scan_backbone(model, variables, ev_a, states, mask_none,
+                               remat=False)
+    assert not np.array_equal(np.asarray(feats_a[0]), np.asarray(feats_c[0]))

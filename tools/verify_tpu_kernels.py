@@ -70,6 +70,81 @@ def main() -> int:
     t_pal = timeit(pallas_fn, xj, yj, pj, tj, cj)
     print(f"voxelizer 8x32k gen1: XLA scatter {t_xla:.2f} ms, "
           f"Pallas {t_pal:.2f} ms ({t_xla / t_pal:.2f}x)")
+
+    failures += _verify_fused_lstm()
+    failures += _verify_fused_attention()
+    return failures
+
+
+def _verify_fused_lstm() -> int:
+    """Lowered fused ConvLSTM vs the XLA module path (bf16-noise bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvt_tpu.config import LstmConfig
+    from rvt_tpu.models.layers import DWSConvLSTM2d
+    from rvt_tpu.ops.fused_lstm import fused_conv_lstm
+
+    failures = 0
+    for B, H, W, C in [(8, 64, 80, 64), (8, 6, 10, 512)]:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        h = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.5)
+        c = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.5)
+        mod = DWSConvLSTM2d(dim=C, cfg=LstmConfig(dws_conv=False),
+                            dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), x, (h, c), True)
+        h_ref, c_ref = mod.apply(params, x, (h, c), True)
+        p = params["params"]["conv1x1"]
+        w = jnp.asarray(p["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+        b = jnp.asarray(p["bias"], jnp.bfloat16).reshape(1, -1)
+        h_f, c_f = fused_conv_lstm(x, h, c, w, b)
+        dh = float(jnp.max(jnp.abs(h_f - h_ref)))
+        dc = float(jnp.max(jnp.abs(c_f - c_ref)))
+        ok = dh < 1e-2 and dc < 2e-2
+        failures += not ok
+        print(f"fused_lstm/{H}x{W}x{C}: {'OK' if ok else 'MISMATCH'} "
+              f"(dh={dh:.2e} dc={dc:.2e})")
+        fused = jax.jit(lambda x, h, c: fused_conv_lstm(x, h, c, w, b))
+        xla = jax.jit(lambda x, h, c: mod.apply(params, x, (h, c), True))
+        t_f = timeit(lambda *a: fused(*a)[0], x, h, c)
+        t_x = timeit(lambda *a: xla(*a)[0], x, h, c)
+        print(f"  XLA {t_x:.2f} ms, Pallas {t_f:.2f} ms ({t_x / t_f:.2f}x)")
+    return failures
+
+
+def _verify_fused_attention() -> int:
+    """Lowered fused attention pair vs the XLA module path."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvt_tpu.config import AttentionConfig
+    from rvt_tpu.models.layers import MaxVitAttentionPair
+
+    failures = 0
+    for H, W, C in [(64, 80, 64), (8, 10, 512)]:
+        cfg = AttentionConfig(partition_size=(8, 10), dim_head=32)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(8, H, W, C), jnp.bfloat16)
+        mods = {}
+        for fused in (False, True):
+            mods[fused] = MaxVitAttentionPair(dim=C, cfg=cfg,
+                                              skip_first_norm=True,
+                                              dtype=jnp.bfloat16, fused=fused)
+        variables = mods[False].init(jax.random.PRNGKey(1), x)
+        outs = {f: m.apply(variables, x, True) for f, m in mods.items()}
+        d = float(jnp.max(jnp.abs(outs[True].astype(jnp.float32)
+                                  - outs[False].astype(jnp.float32))))
+        ok = d < 2e-2
+        failures += not ok
+        print(f"fused_attention/{H}x{W}x{C}: {'OK' if ok else 'MISMATCH'} "
+              f"(d={d:.2e})")
+        ts = {}
+        for f, m in mods.items():
+            ap = jax.jit(lambda x, m=m: m.apply(variables, x, True))
+            ts[f] = timeit(ap, x)
+        print(f"  XLA {ts[False]:.2f} ms, Pallas {ts[True]:.2f} ms "
+              f"({ts[False] / ts[True]:.2f}x)")
     return failures
 
 
