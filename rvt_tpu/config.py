@@ -272,6 +272,12 @@ def derive(config: ExperimentConfig) -> ExperimentConfig:
     )
     head = replace(config.model.head, num_classes=ds.num_classes)
     model = replace(config.model, backbone=backbone, head=head)
+    # A window of T frames can hold at most T labeled frames; clamp the
+    # gather budget so short-window presets (gen4 T=5) produce a valid
+    # static gather shape (training/step.py:gather_labeled_frames).
+    if ds.max_labeled_frames > ds.sequence_length:
+        ds = replace(ds, max_labeled_frames=ds.sequence_length)
+        return replace(config, model=model, dataset=ds)
     return replace(config, model=model)
 
 

@@ -5,9 +5,9 @@ on the host with numba/torch, scripts/genx/preprocess_dataset.py), this
 pipeline runs everything inside one jit region per frame batch:
 
   raw events (padded [B, N] x/y/p/t + counts)
-    -> stacked histogram (XLA scatter voxelizer: 0.5 ms/frame for 32k
-       events on a v5e; the Pallas kernel is interpret-mode-only because
-       Mosaic cannot lower scalar VMEM stores — see docs/PERF.md)
+    -> stacked histogram (Pallas sort+one-hot-matmul voxelizer, 1.8 ms
+       per 8x32k-event batch on v5e — 2.1x the XLA scatter fallback,
+       which remains the default off-TPU; see docs/PERF.md)
     -> optional 2x nearest downsample (gen4)
     -> pad to model resolution
     -> recurrent detector step

@@ -265,16 +265,18 @@ class MaxVitAttentionPair(nn.Module):
 
     def _fused_supported(self, deterministic: bool, x: Array) -> bool:
         cfg = self.cfg
-        # VMEM bound: the kernel holds the f32 residual, qkv and MLP hidden
-        # per image — beyond ~512k elements/image (gen4 stage 1) the Mosaic
-        # scoped-vmem stack overflows; fall back to the XLA path there.
+        # VMEM bound: the kernel holds the f32 residual and qkv per image
+        # (the MLP runs row-chunked, so it no longer drives the peak).
+        # 1M elements/image admits gen4 stage 1 (96x160x64, verified on
+        # v5e); beyond that the Mosaic scoped-vmem stack would overflow —
+        # fall back to the XLA path.
         per_image = x.shape[1] * x.shape[2] * x.shape[3]
         return (self.fused and deterministic and not self.is_initializing()
                 and self.dtype == jnp.bfloat16 and not cfg.mlp_gated
                 and cfg.attention_bias and cfg.mlp_bias
                 and cfg.ls_init_value > 0 and cfg.drop_path == 0.0
                 and cfg.drop_mlp == 0.0 and cfg.mlp_activation == "gelu"
-                and per_image <= 512 * 1024)
+                and per_image <= 1024 * 1024)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:

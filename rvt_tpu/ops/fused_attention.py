@@ -47,6 +47,10 @@ Array = jax.Array
 
 _DOT = dict(preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
+# NOTE: preferred_element_type=bfloat16 was tried for the bf16-out dots
+# (it would skip the f32->bf16 VPU pass) but Mosaic rejects it:
+# "'tpu.matmul' op Expected matmul acc to be 32-bit". All dots therefore
+# accumulate to f32 and round explicitly.
 
 # params per sub-block: [ln1_s, ln1_b] (absent when skip_first_norm),
 # qkv_w, qkv_b, proj_w, proj_b, ls1_gamma, ln2_s, ln2_b, fc1_w, fc1_b,
@@ -141,15 +145,27 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
     out = out.reshape(H, W, C)
     R = R + out.astype(jnp.float32) * g1[...].astype(jnp.float32)
 
-    y = _layer_norm_f32(R, ln2_s[...], ln2_b[...], eps).reshape(T, C)
-    y = jax.lax.dot_general(y, fc1_w[...],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            **_DOT).astype(jnp.bfloat16) + fc1_b[...]
-    y = _gelu(y)
-    y = jax.lax.dot_general(y, fc2_w[...],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            **_DOT).astype(jnp.bfloat16) + fc2_b[...]
-    y = y.reshape(H, W, C)
+    # The MLP is token-pointwise, so it runs in row chunks: the f32 gelu
+    # intermediates over the 4x hidden are the kernel's VMEM peak (a full
+    # [T, 4C] f32 tensor is 20 MB at gen4 stage-1 sizes). Chunking bounds
+    # that to ~4 MB regardless of the spatial size.
+    R2 = R.reshape(T, C)
+    chunk = T
+    while chunk * 4 * C * 4 > 4 * 2 ** 20 and chunk % 2 == 0:
+        chunk //= 2
+    outs = []
+    for s in range(0, T, chunk):
+        y = _layer_norm_f32(R2[s:s + chunk], ln2_s[...], ln2_b[...], eps)
+        y = jax.lax.dot_general(y, fc1_w[...],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                **_DOT).astype(jnp.bfloat16) + fc1_b[...]
+        y = _gelu(y)
+        y = jax.lax.dot_general(y, fc2_w[...],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                **_DOT).astype(jnp.bfloat16) + fc2_b[...]
+        outs.append(y)
+    y = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+         ).reshape(H, W, C)
     return R + y.astype(jnp.float32) * g2[...].astype(jnp.float32)
 
 
@@ -196,12 +212,15 @@ def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
         out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
-        # Stage-1's working set peaks just above the default 16 MB scoped
-        # VMEM stack limit (the f32 gelu intermediates over the 4x MLP
-        # hidden); raise the cap — v5e has 128 MB of VMEM and the grid is
-        # sequential over images, so only ~2 programs are ever live.
+        # gen1 stage-1's working set peaks just above the default 16 MB
+        # scoped VMEM stack limit; gen4 stage-1 (96x160, 983k elements per
+        # image) needs ~53 MB (f32 qkv accumulators + per-head score
+        # tensors). Raise the cap accordingly — v5e has 128 MB of VMEM and
+        # the grid is sequential over images, so only ~2 programs' blocks
+        # are live alongside the stack.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=(64 if H * W * C > 512 * 1024 else 32)
+            * 1024 * 1024),
         interpret=interpret,
     )(x, *params)
 

@@ -29,6 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# Mosaic requires a 32-bit matmul accumulator (preferred=bf16 fails to
+# verify), so the dot accumulates f32 and rounds explicitly.
 _DOT = dict(preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
 

@@ -52,3 +52,15 @@ def test_custom_resolution_derive():
     cfg = preset("gen1", "tiny", resolution_hw=(100, 130))
     assert cfg.model.backbone.in_res_hw == (128, 160)
     assert cfg.model.backbone.attention.partition_size == (4, 5)
+
+
+def test_max_labeled_frames_clamped_to_sequence_length():
+    """gen4's 5-frame window cannot hold 8 labeled frames; derive() must
+    clamp the static gather budget (gather_labeled_frames would otherwise
+    build an invalid top-k shape)."""
+    from rvt_tpu.config import preset
+
+    cfg = preset("gen4", "base")
+    assert cfg.dataset.max_labeled_frames == cfg.dataset.sequence_length == 5
+    cfg = preset("gen1", "base")
+    assert cfg.dataset.max_labeled_frames == 8  # unchanged (T=21)

@@ -51,10 +51,27 @@ def test_fused_pair_matches_xla_path(geom):
     assert np.abs(got - ref).mean() < 3e-3
 
 
-def test_fused_falls_back_when_oversized():
-    """gen4 stage-1 geometry exceeds the kernel VMEM envelope -> the module
-    must use the XLA path (bit-identical to fused=False)."""
+def test_gen4_stage1_fuses_with_chunked_mlp():
+    """gen4 stage-1 geometry (96x160x64) fits the kernel since the MLP runs
+    row-chunked -> the fused path must agree with XLA at bf16 noise."""
     H, W, C = 96, 160, 64
+    cfg = AttentionConfig(partition_size=(6, 10), dim_head=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, H, W, C), jnp.bfloat16)
+    mod_ref = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                                  dtype=jnp.bfloat16, fused=False)
+    variables = mod_ref.init(jax.random.PRNGKey(1), x)
+    mod_fused = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                                    dtype=jnp.bfloat16, fused=True)
+    ref = np.asarray(mod_ref.apply(variables, x), np.float32)
+    got = np.asarray(mod_fused.apply(variables, x), np.float32)
+    assert not np.array_equal(got, ref)  # proves the fused path was taken
+    np.testing.assert_allclose(got, ref, atol=1.5e-2)
+
+
+def test_fused_falls_back_when_oversized():
+    """Beyond the 1M-elements/image VMEM envelope the module must use the
+    XLA path (bit-identical to fused=False)."""
+    H, W, C = 192, 160, 64
     cfg = AttentionConfig(partition_size=(6, 10), dim_head=32)
     x = jnp.asarray(np.random.RandomState(0).randn(1, H, W, C), jnp.bfloat16)
     mod_ref = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,

@@ -122,8 +122,9 @@ def _verify_fused_attention() -> int:
     from rvt_tpu.models.layers import MaxVitAttentionPair
 
     failures = 0
-    for H, W, C in [(64, 80, 64), (8, 10, 512)]:
-        cfg = AttentionConfig(partition_size=(8, 10), dim_head=32)
+    for H, W, C, part in [(64, 80, 64, (8, 10)), (8, 10, 512, (8, 10)),
+                          (96, 160, 64, (6, 10))]:  # last: gen4 stage 1
+        cfg = AttentionConfig(partition_size=part, dim_head=32)
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(8, H, W, C), jnp.bfloat16)
         mods = {}
@@ -135,7 +136,7 @@ def _verify_fused_attention() -> int:
         outs = {f: m.apply(variables, x, True) for f, m in mods.items()}
         d = float(jnp.max(jnp.abs(outs[True].astype(jnp.float32)
                                   - outs[False].astype(jnp.float32))))
-        ok = d < 2e-2
+        ok = 0 < d < 2e-2  # d == 0 would mean the fused path fell back
         failures += not ok
         print(f"fused_attention/{H}x{W}x{C}: {'OK' if ok else 'MISMATCH'} "
               f"(d={d:.2e})")
