@@ -310,6 +310,11 @@ def preset(dataset: str = "gen1", size: str = "tiny", **dataset_overrides) -> Ex
             sequence_length=21,
             resolution_hw=(240, 304),
             downsample_by_factor_2=False,
+            # labels at 4 Hz on the 20 Hz repr grid -> at most
+            # ceil(21/5) = 5 labelled frames per window (+1 margin);
+            # sizing the static gather tightly cuts the per-window
+            # head+NMS work by a quarter vs the default 8.
+            max_labeled_frames=6,
         )
         partition_split_32 = 1  # experiment/gen1/default.yaml:42
         lr = 2e-4
@@ -321,6 +326,9 @@ def preset(dataset: str = "gen1", size: str = "tiny", **dataset_overrides) -> Ex
             sequence_length=5,
             resolution_hw=(720, 1280),
             downsample_by_factor_2=True,
+            # labels at 10 Hz on the 20 Hz repr grid -> at most
+            # ceil(5/2) = 3 labelled frames per window (+1 margin).
+            max_labeled_frames=4,
         )
         partition_split_32 = 2  # model default; gen4 keeps it
         lr = 3.46e-4

@@ -53,10 +53,12 @@ _DOT = dict(preferred_element_type=jnp.float32,
 # accumulate to f32 and round explicitly.
 
 # params per sub-block: [ln1_s, ln1_b] (absent when skip_first_norm),
-# qkv_w, qkv_b, proj_w, proj_b, ls1_gamma, ln2_s, ln2_b, fc1_w, fc1_b,
-# fc2_w, fc2_b, ls2_gamma
-_N_PARAMS = 14
-_N_PARAMS_SFN = 12
+# qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b.
+# The LayerScale gammas are folded into proj/fc2 weights+biases at
+# flatten time (attention_block_params), saving one full-tensor f32
+# multiply per sub-block half.
+_N_PARAMS = 12
+_N_PARAMS_SFN = 10
 
 
 def _layer_norm_f32(x_f32: Array, scale_bf16: Array, bias_bf16: Array,
@@ -103,8 +105,8 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
     else:
         xa = _layer_norm_f32(R, prm[0][...], prm[1][...], eps)
         i = 2
-    (qkv_w, qkv_b, proj_w, proj_b, g1, ln2_s, ln2_b,
-     fc1_w, fc1_b, fc2_w, fc2_b, g2) = prm[i:i + 12]
+    (qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+     fc1_w, fc1_b, fc2_w, fc2_b) = prm[i:i + 10]
 
     if window_mode:
         p = xa.reshape(nh, ph, nw, pw, C).transpose(0, 2, 1, 3, 4)
@@ -143,15 +145,18 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
     else:
         out = out.reshape(nh, nw, ph, pw, C).transpose(2, 0, 3, 1, 4)
     out = out.reshape(H, W, C)
-    R = R + out.astype(jnp.float32) * g1[...].astype(jnp.float32)
+    R = R + out.astype(jnp.float32)
 
     # The MLP is token-pointwise, so it runs in row chunks: the f32 gelu
     # intermediates over the 4x hidden are the kernel's VMEM peak (a full
-    # [T, 4C] f32 tensor is 20 MB at gen4 stage-1 sizes). Chunking bounds
-    # that to ~4 MB regardless of the spatial size.
+    # [T, 4C] f32 tensor is 20 MB at gen4 stage-1 sizes). The 8 MB chunk
+    # target keeps gen1 stage 1 monolithic (small-M matmuls pay MXU
+    # startup overhead); gen4-sized images use 4 MB chunks — their qkv/
+    # score tensors already push the stack near the 64 MB scoped cap.
     R2 = R.reshape(T, C)
+    target = (4 if T * C > 512 * 1024 else 8) * 2 ** 20
     chunk = T
-    while chunk * 4 * C * 4 > 4 * 2 ** 20 and chunk % 2 == 0:
+    while chunk * 4 * C * 4 > target and chunk % 2 == 0:
         chunk //= 2
     outs = []
     for s in range(0, T, chunk):
@@ -166,7 +171,7 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
         outs.append(y)
     y = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
          ).reshape(H, W, C)
-    return R + y.astype(jnp.float32) * g2[...].astype(jnp.float32)
+    return R + y.astype(jnp.float32)
 
 
 def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
@@ -261,20 +266,26 @@ def attention_block_params(p: dict, skip_first_norm: bool
                            ) -> Tuple[Array, ...]:
     """Flatten one PartitionAttention param subtree (flax layout, master
     f32) into the kernel's argument tuple, pre-cast exactly as the XLA
-    path's modules would (weights/LN affine -> bf16, LayerScale -> f32)."""
+    path's modules would (weights/LN affine -> bf16). The LayerScale
+    gammas are folded into the proj/fc2 weights and biases in f32 before
+    the bf16 cast — mathematically the XLA path's ``out*gamma`` with the
+    bf16 rounding moved after the scale (within bf16 noise)."""
     # 1-D vectors are reshaped to (1, dim): Mosaic vector layouts are 2-D.
     bf = lambda a: jnp.asarray(a, jnp.bfloat16).reshape(1, -1)
     bfw = lambda a: jnp.asarray(a, jnp.bfloat16)
-    f32 = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)
+    g1 = jnp.asarray(p["ls1"]["gamma"], jnp.float32)
+    g2 = jnp.asarray(p["ls2"]["gamma"], jnp.float32)
+    attn = p["self_attn"]
+    proj_w = jnp.asarray(attn["proj"]["kernel"], jnp.float32) * g1
+    proj_b = jnp.asarray(attn["proj"]["bias"], jnp.float32) * g1
+    fc2_w = jnp.asarray(p["mlp"]["fc2"]["kernel"], jnp.float32) * g2
+    fc2_b = jnp.asarray(p["mlp"]["fc2"]["bias"], jnp.float32) * g2
     out = []
     if not skip_first_norm:
         out += [bf(p["norm1"]["scale"]), bf(p["norm1"]["bias"])]
-    attn = p["self_attn"]
     out += [bfw(attn["qkv"]["kernel"]), bf(attn["qkv"]["bias"]),
-            bfw(attn["proj"]["kernel"]), bf(attn["proj"]["bias"]),
-            f32(p["ls1"]["gamma"]),
+            bfw(proj_w), bf(proj_b),
             bf(p["norm2"]["scale"]), bf(p["norm2"]["bias"]),
             bfw(p["mlp"]["fc1"]["kernel"]), bf(p["mlp"]["fc1"]["bias"]),
-            bfw(p["mlp"]["fc2"]["kernel"]), bf(p["mlp"]["fc2"]["bias"]),
-            f32(p["ls2"]["gamma"])]
+            bfw(fc2_w), bf(fc2_b)]
     return tuple(out)

@@ -96,8 +96,16 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
     # one-window lag: host-side conversion of window N overlaps the device
     # computing window N+1 (dispatch is async; fetches happen in consume)
     pending = None
+    K = cfg.dataset.max_labeled_frames
     for batch in batches:
         assert batch.batch_size == batch_size
+        # gather_labeled_frames silently drops labelled frames beyond K;
+        # in eval that would leave GT frames without predictions and skew
+        # the protocol metric — fail loudly instead.
+        n_lab = batch.frame_valid.sum(axis=1).max()
+        assert n_lab <= K, (
+            f"window has {n_lab} labelled frames > max_labeled_frames={K}; "
+            "raise DatasetConfig.max_labeled_frames")
         ev = batch.ev_repr
         if stem_s2d:
             ev = host_space_to_depth(ev, cfg.model.backbone.in_res_hw)

@@ -55,12 +55,19 @@ def test_custom_resolution_derive():
 
 
 def test_max_labeled_frames_clamped_to_sequence_length():
-    """gen4's 5-frame window cannot hold 8 labeled frames; derive() must
-    clamp the static gather budget (gather_labeled_frames would otherwise
-    build an invalid top-k shape)."""
-    from rvt_tpu.config import preset
+    """A T-frame window cannot hold more than T labeled frames; derive()
+    must clamp the static gather budget (gather_labeled_frames would
+    otherwise build an invalid top-k shape)."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import derive, preset
 
     cfg = preset("gen4", "base")
-    assert cfg.dataset.max_labeled_frames == cfg.dataset.sequence_length == 5
+    # presets size the budget to the label cadence (10 Hz / 20 Hz -> 3+1)
+    assert cfg.dataset.max_labeled_frames == 4
+    assert cfg.dataset.max_labeled_frames <= cfg.dataset.sequence_length
+    # and derive() clamps an oversized explicit setting
+    over = replace(cfg, dataset=replace(cfg.dataset, max_labeled_frames=9))
+    assert derive(over).dataset.max_labeled_frames == 5
     cfg = preset("gen1", "base")
-    assert cfg.dataset.max_labeled_frames == 8  # unchanged (T=21)
+    assert cfg.dataset.max_labeled_frames == 6  # 4 Hz cadence: 5 + margin
