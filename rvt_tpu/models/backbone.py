@@ -60,6 +60,10 @@ class RVTStage(nn.Module):
             if token_mask is not None:
                 # token_mask: [B, H, W] bool at this stage's resolution
                 x = jnp.where(token_mask[..., None], mask_token.astype(x.dtype), x)
+
+        if self._whole_stage_fused(deterministic, x):
+            return self._fused_stage_call(x, h_c)
+
         for i in range(self.num_blocks):
             # First block skips norm1 because the downsample output is
             # already layer-normed (maxvit_rnn.py:153).
@@ -71,6 +75,47 @@ class RVTStage(nn.Module):
                              dtype=self.dtype,
                              fused=self.cfg.fused_kernels,
                              name="lstm")(x, h_c, deterministic)
+        return h, (h, c)
+
+    def _whole_stage_fused(self, deterministic: bool, x: Array) -> bool:
+        """Serve the whole stage (attention pair + ConvLSTM) as ONE Pallas
+        kernel — the residual stream never round-trips HBM between the
+        pair and the cell. Requires the single-block stage shape the
+        shipped configs use and both sub-modules' fused envelopes."""
+        from rvt_tpu.ops.fused_attention import stage_fusion_supported
+
+        a, l = self.cfg.attention, self.cfg.lstm
+        per_image = x.shape[1] * x.shape[2] * x.shape[3]
+        return (self.cfg.fused_kernels and deterministic
+                and not self.is_initializing()
+                and self.dtype == jnp.bfloat16 and self.num_blocks == 1
+                and not a.mlp_gated and a.attention_bias and a.mlp_bias
+                and a.ls_init_value > 0 and a.drop_path == 0.0
+                and a.drop_mlp == 0.0 and a.mlp_activation == "gelu"
+                and not l.dws_conv and l.drop_cell_update == 0.0
+                and stage_fusion_supported(per_image, self.dim_out))
+
+    def _fused_stage_call(self, x: Array, h_c: LstmState
+                          ) -> Tuple[Array, LstmState]:
+        from rvt_tpu.ops.fused_attention import (attention_block_params,
+                                                 fused_stage)
+
+        p = self.variables["params"]
+        C = self.dim_out
+        lp = p["lstm"]["conv1x1"]
+        h, c = fused_stage(
+            x,
+            attention_block_params(p["block0"]["att_window"], True),
+            attention_block_params(p["block0"]["att_grid"], False),
+            jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C),
+            jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1),
+            h_c[0], h_c[1],
+            heads=C // self.cfg.attention.dim_head,
+            dim_head=self.cfg.attention.dim_head,
+            part=tuple(self.cfg.attention.partition_size),
+            skip_first_norm=True,
+            eps=self.cfg.attention.norm_eps,
+            interpret=jax.default_backend() == "cpu")
         return h, (h, c)
 
 

@@ -230,6 +230,93 @@ def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
     )(x, *params)
 
 
+def _stage_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
+    """Whole backbone stage: attention block chain + ConvLSTM cell in one
+    kernel. refs: x, *attn_params, lstm_w, lstm_b, h_in, c_in -> h_out,
+    c_out. The residual stream never leaves VMEM; LSTM numerics mirror
+    ops/fused_lstm.py exactly (bf16 matmul/gates, f32 cell update)."""
+    x_ref = refs[0]
+    lstm_w, lstm_b, h_ref, c_ref = refs[-6:-2]
+    ho_ref, co_ref = refs[-2:]
+    prms = refs[1:-6]
+    R = x_ref[0].astype(jnp.float32)
+    x_bf16 = x_ref[0].astype(jnp.bfloat16)
+    off = 0
+    for window_mode, sfn, n in blocks:
+        R = _one_block(R, prms[off:off + n], window_mode=window_mode,
+                       skip_first_norm=sfn, x_in_bf16=x_bf16, H=H, W=W,
+                       C=C, heads=heads, dh=dh, part=part, eps=eps)
+        off += n
+        x_bf16 = None
+    T = H * W
+    xb = R.astype(jnp.bfloat16).reshape(T, C)
+    hb = h_ref[0].astype(jnp.bfloat16).reshape(T, C)
+    xh = jnp.concatenate([xb, hb], axis=-1)
+    mix = jax.lax.dot_general(xh, lstm_w[...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              **_DOT).astype(jnp.bfloat16) + lstm_b[...]
+    gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16)
+    forget_gate = gates[:, :C].astype(jnp.float32)
+    input_gate = gates[:, C:2 * C].astype(jnp.float32)
+    output_gate = gates[:, 2 * C:].astype(jnp.float32)
+    cell_input = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
+                          ).astype(jnp.bfloat16).astype(jnp.float32)
+    c_t = (forget_gate * c_ref[0].astype(jnp.float32).reshape(T, C)
+           + input_gate * cell_input)
+    h_t = output_gate * jnp.tanh(c_t)
+    ho_ref[0] = h_t.reshape(H, W, C)
+    co_ref[0] = c_t.reshape(H, W, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "dim_head", "part", "skip_first_norm",
+                     "eps", "interpret"))
+def fused_stage(x: Array, params_window: Tuple[Array, ...],
+                params_grid: Tuple[Array, ...], lstm_w: Array,
+                lstm_b: Array, h: Array, c: Array, *, heads: int,
+                dim_head: int, part: Tuple[int, int],
+                skip_first_norm: bool, eps: float,
+                interpret: bool = False) -> Tuple[Array, Array]:
+    """One whole backbone stage after the downsample — window+grid
+    attention pair and the ConvLSTM cell — as a single kernel per image.
+    Returns (h_t, c_t), both f32 [B, H, W, C]. Caller must have checked
+    ``stage_fusion_supported``."""
+    B, H, W, C = x.shape
+    blocks = ((True, skip_first_norm,
+               _N_PARAMS_SFN if skip_first_norm else _N_PARAMS),
+              (False, False, _N_PARAMS))
+    kernel = functools.partial(
+        _stage_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
+        dh=dim_head, part=part, eps=eps)
+    img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_p = len(params_window) + len(params_grid)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[img] + [full] * n_p + [full, full, img, img],
+        out_specs=(img, img),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *params_window, *params_grid, lstm_w, lstm_b, h, c)
+
+
+def stage_fusion_supported(per_image_elems: int, C: int) -> bool:
+    """VMEM envelope for the whole-stage kernel: same pair criterion as
+    ``fused_attention_pair`` plus the LSTM weights/gates (~+5 MB at
+    C=512)."""
+    weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C) + 2 * 2 * C * 4 * C
+    act_bytes = 14 * per_image_elems
+    return (weight_bytes + act_bytes <= 24 * 2 ** 20
+            and per_image_elems <= 512 * 1024)
+
+
 def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
                          params_grid: Tuple[Array, ...], *, heads: int,
                          dim_head: int, part: Tuple[int, int],
@@ -237,14 +324,19 @@ def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
                          interpret: bool = False) -> Array:
     """Window attention followed by grid attention (one MaxViT block).
 
-    Fused into a single kernel when both blocks' weights fit VMEM
-    together; otherwise two single-block kernels (stage 4's C=512 weight
-    set is ~12.6 MB in bf16 — pairing would exceed the 16 MB budget with
-    the activations)."""
+    Fused into a single kernel when both blocks' weights + working set
+    fit the 32 MB scoped-vmem cap together (stage 4's paired C=512
+    weight set is ~12.6 MB bf16 + ~8 MB activations — it pairs since the
+    cap was raised from the 16 MB default); otherwise two single-block
+    kernels."""
     C = x.shape[-1]
+    per_image = x.shape[1] * x.shape[2] * C
     weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C)
     act_bytes = 14 * x.shape[1] * x.shape[2] * C
-    if weight_bytes + act_bytes <= 10 * 2 ** 20:
+    # gen4-sized images (983k elements) stay split: even one block's f32
+    # intermediates push ~45 MB of scoped vmem; pairing would overflow
+    # the 64 MB cap.
+    if weight_bytes + act_bytes <= 24 * 2 ** 20 and per_image <= 512 * 1024:
         blocks = ((True, skip_first_norm,
                    _N_PARAMS_SFN if skip_first_norm else _N_PARAMS),
                   (False, False, _N_PARAMS))

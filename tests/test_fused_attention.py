@@ -127,3 +127,46 @@ def test_fused_ignored_in_training_mode():
     norms = [float(jnp.linalg.norm(leaf.astype(jnp.float32)))
              for leaf in jax.tree.leaves(g)]
     assert all(np.isfinite(n) for n in norms) and any(n > 0 for n in norms)
+
+
+def test_whole_stage_fused_matches_module_path():
+    """RVTStage with fused_kernels serves attention pair + ConvLSTM as one
+    kernel (backbone.py:_whole_stage_fused); outputs must agree with the
+    XLA module path at bf16 noise."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models.backbone import RVTStage
+
+    cfg = preset("gen1", "tiny").model.backbone
+    B, H, W = 2, 64, 80
+    x = jnp.asarray(np.random.RandomState(0).randn(B, H, W, 20) * 2,
+                    jnp.float32)
+    h = jnp.asarray(np.random.RandomState(1).randn(B, H // 4, W // 4,
+                                                   cfg.stage_dims[0]) * 0.5,
+                    jnp.float32)
+    c = jnp.asarray(np.random.RandomState(2).randn(B, H // 4, W // 4,
+                                                   cfg.stage_dims[0]) * 0.5,
+                    jnp.float32)
+
+    outs = {}
+    for fused in (False, True):
+        bb = replace(cfg, fused_kernels=fused)
+        stage = RVTStage(dim_out=cfg.stage_dims[0],
+                         downsample_factor=cfg.stem_patch_size,
+                         num_blocks=1, enable_token_masking=False,
+                         cfg=bb, dtype=jnp.bfloat16)
+        variables = outs.get("vars")
+        if variables is None:
+            variables = stage.init(jax.random.PRNGKey(0), x, (h, c), None,
+                                   True)
+            outs["vars"] = variables
+        out, (h_t, c_t) = stage.apply(variables, x, (h, c), None, True)
+        outs[fused] = (np.asarray(out, np.float32), np.asarray(h_t),
+                       np.asarray(c_t))
+
+    # the fused path must actually differ bitwise (proves dispatch)...
+    assert not np.array_equal(outs[True][0], outs[False][0])
+    # ...but agree numerically
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(a, b, atol=2.5e-2)
