@@ -91,9 +91,17 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     with ``lax.scan``: one compiled step body, hidden states as donated
     carry. Only the FPN input stages are stacked over time to bound HBM use.
 
+    With ``fused_kernels`` serving configs the whole scan runs as one
+    Pallas stage-scan kernel per stage instead (``fused_scan_backbone``):
+    time loop inside the kernel, carries in VMEM, weights staged once.
+
     Returns (features_per_stage, final_states) where features_per_stage is a
     tuple over ``cfg.fpn.in_stages`` of [T, B, h, w, c] arrays.
     """
+    if (deterministic and not remat and token_mask_seq is None
+            and _fused_scan_supported(model)):
+        return fused_scan_backbone(model, variables, ev_seq, init_states)
+
     in_stages = model.cfg.fpn.in_stages
 
     def step(states, inp):
@@ -120,3 +128,103 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     else:
         final_states, feats = jax.lax.scan(step, init_states, xs)
     return feats, final_states
+
+
+def _fused_scan_supported(model: RVTDetector) -> bool:
+    """Gate for the whole-window stage-scan serving path: shipped config
+    shape (bf16, 1 block per stage, plain MLP/LSTM variants) and no token
+    masking. Per-stage VMEM envelopes are handled inside
+    ``fused_scan_backbone`` (oversized stages scan per-step)."""
+    cfg = model.cfg.backbone
+    a, l = cfg.attention, cfg.lstm
+    return (cfg.fused_kernels and model.cfg.compute_dtype == "bfloat16"
+            and not cfg.enable_masking
+            and all(n == 1 for n in cfg.num_blocks)
+            and not a.mlp_gated and a.attention_bias and a.mlp_bias
+            and a.ls_init_value > 0 and a.drop_path == 0.0
+            and a.drop_mlp == 0.0 and a.mlp_activation == "gelu"
+            and not l.dws_conv and l.drop_cell_update == 0.0)
+
+
+def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
+                        init_states: LstmStates
+                        ) -> Tuple[Tuple[Array, ...], LstmStates]:
+    """Serving scan: per-stage whole-window Pallas kernels.
+
+    Per stage: the downsample conv + LN runs in XLA, batched over the
+    whole window (one conv of T*B images — weights load once, MXU batches
+    well), then ``fused_stage_scan`` runs attention pair + ConvLSTM for
+    all T steps in one kernel with the carry in VMEM. Stages whose
+    working set exceeds the kernel envelope (gen4 stage 1) fall back to a
+    ``lax.scan`` over the per-step fused pair/cell kernels.
+
+    Numerics match the lax.scan path at bf16 noise: inter-stage hidden
+    states travel as bf16, which is exactly the cast the next conv / the
+    FPN would apply.
+    """
+    from rvt_tpu.models.layers import (ConvDownsample, DWSConvLSTM2d,
+                                       MaxVitAttentionPair)
+    from rvt_tpu.ops.fused_attention import (attention_block_params,
+                                             stage_fusion_supported)
+    from rvt_tpu.ops.fused_scan import fused_stage_scan
+
+    cfg = model.cfg.backbone
+    p = variables["params"]["backbone"]
+    interpret = jax.default_backend() == "cpu"
+    T, B = ev_seq.shape[:2]
+    dtype = jnp.bfloat16
+
+    x = ev_seq.reshape((T * B,) + ev_seq.shape[2:])
+    feats = {}
+    states_out = []
+    for idx in range(cfg.num_stages):
+        sp = p[f"stage{idx + 1}"]
+        is_stem = idx == 0
+        ds = ConvDownsample(
+            dim_out=cfg.stage_dims[idx],
+            downsample_factor=cfg.stem_patch_size if is_stem else 2,
+            cfg=cfg.downsample, dtype=dtype,
+            s2d_input=cfg.stem_s2d and is_stem,
+            in_channels=cfg.input_channels)
+        x = ds.apply({"params": sp["downsample"]}, x)
+        h_dim, w_dim, C = x.shape[1:]
+        x_seq = x.reshape(T, B, h_dim, w_dim, C)
+        lp = sp["lstm"]["conv1x1"]
+        lw = jnp.asarray(lp["kernel"], dtype).reshape(2 * C, 4 * C)
+        lb = jnp.asarray(lp["bias"], dtype).reshape(1, -1)
+        h0, c0 = init_states[idx]
+
+        if stage_fusion_supported(h_dim * w_dim * C, C):
+            h_seq, hT, cT = fused_stage_scan(
+                x_seq,
+                attention_block_params(sp["block0"]["att_window"], True),
+                attention_block_params(sp["block0"]["att_grid"], False),
+                lw, lb, h0, c0,
+                heads=C // cfg.attention.dim_head,
+                dim_head=cfg.attention.dim_head,
+                part=tuple(cfg.attention.partition_size),
+                eps=cfg.attention.norm_eps, interpret=interpret)
+        else:
+            # oversized stage (gen4 stage 1): per-step fused pair + cell
+            pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
+                                       skip_first_norm=True, dtype=dtype,
+                                       fused=True)
+            cell = DWSConvLSTM2d(dim=C, cfg=cfg.lstm, dtype=dtype,
+                                 fused=True)
+            pvars = {"params": sp["block0"]}
+            cvars = {"params": {"conv1x1": lp}}
+
+            def stage_step(carry, x_t, pair=pair, cell=cell, pvars=pvars,
+                           cvars=cvars):
+                y = pair.apply(pvars, x_t, True)
+                h_t, c_t = cell.apply(cvars, y, carry, True)
+                return (h_t, c_t), h_t.astype(dtype)
+
+            (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
+
+        states_out.append((hT, cT))
+        feats[idx + 1] = h_seq
+        x = h_seq.reshape(T * B, h_dim, w_dim, C)
+
+    in_stages = model.cfg.fpn.in_stages
+    return tuple(feats[s] for s in in_stages), tuple(states_out)

@@ -1,0 +1,134 @@
+"""Whole-window backbone stage scan as a single Pallas TPU kernel.
+
+The eval hot loop is a 21-step recurrence (``lax.scan`` over time) whose
+body launches one kernel per stage per step. That structure pays, every
+step: the LSTM carry round trip to HBM (~5 MB/image f32 across stages),
+a full re-stage of every stage's weights HBM->VMEM (~45 MB bf16 for
+RVT-B), and per-kernel launch overhead (84 launches per window).
+
+Here the TIME LOOP moves inside the kernel: the grid is ``(B, T)`` with
+t innermost, the LSTM carry lives in VMEM scratch across grid steps
+(Pallas TPU grids run sequentially on the core, the standard accumulator
+pattern), and weights are fetched once per window (their block index
+never changes, so the pipeline does not re-copy them). Per step the
+kernel runs the whole post-downsample stage — window attention, MLPs,
+grid attention, ConvLSTM — exactly as ``fused_attention._stage_kernel``.
+
+The per-step downsample convs stay in XLA but are batched over the whole
+window (one conv over T*B images instead of T convs of B), see
+``models/detector.py:fused_scan_backbone``.
+
+Outputs: the per-step hidden states (bf16 — every consumer, the next
+stage's conv and the FPN, casts to bf16 anyway) and the final (h, c)
+f32 carry.
+
+Serving-only (no VJP); reference semantics: maxvit_rnn.py:169-181 per
+step, modules/detection.py:131-158 for the loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rvt_tpu.ops.fused_attention import (_N_PARAMS, _N_PARAMS_SFN, _DOT,
+                                         _one_block)
+
+Array = jax.Array
+
+
+def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
+    """refs: x_t, *attn_params, lstm_w, lstm_b, h0, c0 -> h_seq_t, h_T,
+    c_T, scratch (h_s, c_s)."""
+    x_ref = refs[0]
+    lstm_w, lstm_b, h0_ref, c0_ref = refs[-9:-5]
+    hseq_ref, hT_ref, cT_ref = refs[-5:-2]
+    h_s, c_s = refs[-2:]
+    prms = refs[1:-9]
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_s[...] = h0_ref[0]
+        c_s[...] = c0_ref[0]
+
+    x_bf16 = x_ref[0, 0]
+    R = x_bf16.astype(jnp.float32)
+    off = 0
+    for window_mode, sfn, n in blocks:
+        R = _one_block(R, prms[off:off + n], window_mode=window_mode,
+                       skip_first_norm=sfn, x_in_bf16=x_bf16, H=H, W=W,
+                       C=C, heads=heads, dh=dh, part=part, eps=eps)
+        off += n
+        x_bf16 = None
+
+    T = H * W
+    xb = R.astype(jnp.bfloat16).reshape(T, C)
+    hb = h_s[...].astype(jnp.bfloat16).reshape(T, C)
+    xh = jnp.concatenate([xb, hb], axis=-1)
+    mix = jax.lax.dot_general(xh, lstm_w[...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              **_DOT).astype(jnp.bfloat16) + lstm_b[...]
+    gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16)
+    forget_gate = gates[:, :C].astype(jnp.float32)
+    input_gate = gates[:, C:2 * C].astype(jnp.float32)
+    output_gate = gates[:, 2 * C:].astype(jnp.float32)
+    cell_input = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
+                          ).astype(jnp.bfloat16).astype(jnp.float32)
+    c_t = (forget_gate * c_s[...].reshape(T, C) + input_gate * cell_input)
+    h_t = output_gate * jnp.tanh(c_t)
+    h_hw = h_t.reshape(H, W, C)
+    c_hw = c_t.reshape(H, W, C)
+    h_s[...] = h_hw
+    c_s[...] = c_hw
+    hseq_ref[0, 0] = h_hw.astype(jnp.bfloat16)
+    # constant block index over t: the final write (t = T-1) is what lands
+    hT_ref[0] = h_hw
+    cT_ref[0] = c_hw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "dim_head", "part", "eps", "interpret"))
+def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
+                     params_grid: Tuple[Array, ...], lstm_w: Array,
+                     lstm_b: Array, h0: Array, c0: Array, *, heads: int,
+                     dim_head: int, part: Tuple[int, int], eps: float,
+                     interpret: bool = False
+                     ) -> Tuple[Array, Array, Array]:
+    """Scan one backbone stage over a whole [T, B, H, W, C] bf16 window.
+
+    Returns (h_seq [T, B, H, W, C] bf16, h_T f32, c_T f32). The input
+    must already be downsampled + layer-normed (skip_first_norm chain).
+    """
+    T, B, H, W, C = x_seq.shape
+    blocks = ((True, True, _N_PARAMS_SFN), (False, False, _N_PARAMS))
+    kernel = functools.partial(
+        _stage_scan_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
+        dh=dim_head, part=part, eps=eps)
+    seq = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (t, b, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_p = len(params_window) + len(params_grid)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[seq] + [full] * n_p + [full, full, img, img],
+        out_specs=(seq, img, img),
+        out_shape=(jax.ShapeDtypeStruct((T, B, H, W, C), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, W, C), jnp.float32),
+                        pltpu.VMEM((H, W, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x_seq, *params_window, *params_grid, lstm_w, lstm_b, h0, c0)

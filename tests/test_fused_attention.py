@@ -170,3 +170,48 @@ def test_whole_stage_fused_matches_module_path():
     # ...but agree numerically
     for a, b in zip(outs[True], outs[False]):
         np.testing.assert_allclose(a, b, atol=2.5e-2)
+
+
+def test_fused_scan_backbone_matches_lax_scan():
+    """The whole-window stage-scan serving path (fused_scan_backbone:
+    per-stage Pallas kernels with VMEM carries, batched downsample convs)
+    must match the per-step lax.scan path at bf16 noise, including the
+    final carry states."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector, zero_states
+    from rvt_tpu.models.detector import scan_backbone
+
+    T, B = 3, 2
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    cfg = replace(cfg, model=replace(cfg.model, compute_dtype="bfloat16"))
+    model_ref, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                         batch_size=B)
+    cfg_f = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, fused_kernels=True)))
+    model_fused = RVTDetector(cfg=cfg_f.model)
+
+    H, W = cfg.model.backbone.in_res_hw
+    rng = np.random.RandomState(0)
+    ev = jnp.asarray(rng.randint(0, 8, (T, B, H, W, 20)), jnp.float32)
+    states = zero_states(cfg.model.backbone, B)
+    # non-zero initial states exercise the carry init
+    states = jax.tree.map(
+        lambda x: x + 0.1 * jnp.asarray(
+            np.random.RandomState(7).randn(*x.shape), x.dtype), states)
+
+    feats_r, st_r = scan_backbone(model_ref, variables, ev, states,
+                                  remat=False)
+    feats_f, st_f = scan_backbone(model_fused, variables, ev, states,
+                                  remat=False)
+    assert feats_f[0].dtype == jnp.bfloat16  # proves the fused path ran
+    for fr, ff in zip(feats_r, feats_f):
+        fr = np.asarray(fr, np.float32)
+        ff = np.asarray(ff, np.float32)
+        scale = max(np.abs(fr).max(), 1.0)
+        assert np.abs(fr - ff).max() < 0.05 * scale
+    for (hr, cr), (hf, cf) in zip(st_r, st_f):
+        np.testing.assert_allclose(np.asarray(hf), np.asarray(hr), atol=4e-2)
+        np.testing.assert_allclose(np.asarray(cf), np.asarray(cr), atol=8e-2)
