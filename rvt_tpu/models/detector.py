@@ -162,11 +162,11 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     states travel as bf16, which is exactly the cast the next conv / the
     FPN would apply.
     """
-    from rvt_tpu.models.layers import (ConvDownsample, DWSConvLSTM2d,
-                                       MaxVitAttentionPair)
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
     from rvt_tpu.ops.fused_attention import (attention_block_params,
                                              stage_fusion_supported)
     from rvt_tpu.ops.fused_scan import fused_stage_scan
+    from rvt_tpu.ops.s2d import fold_stem_kernel
 
     cfg = model.cfg.backbone
     p = variables["params"]["backbone"]
@@ -174,25 +174,46 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     T, B = ev_seq.shape[:2]
     dtype = jnp.bfloat16
 
+    def downsample_conv(x, sp, is_stem):
+        """The ConvDownsample conv alone (its LayerNorm runs inside the
+        stage kernel). Bit-matches the module: bf16 operands, bias-free."""
+        w = jnp.asarray(sp["downsample"]["conv"]["kernel"], jnp.float32)
+        if is_stem and cfg.stem_s2d:
+            w, strides, pad = fold_stem_kernel(w), (1, 1), [(0, 0), (0, 0)]
+        elif is_stem:
+            k = w.shape[0]
+            strides = (cfg.stem_patch_size,) * 2
+            pad = [(k // 2, k // 2)] * 2 if cfg.downsample.overlap else [(0, 0)] * 2
+        else:
+            k = w.shape[0]
+            strides, pad = (2, 2), ([(k // 2, k // 2)] * 2
+                                    if cfg.downsample.overlap else [(0, 0)] * 2)
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def downsample_ln_params(sp, C):
+        if cfg.downsample.norm_affine:
+            return (jnp.asarray(sp["downsample"]["norm"]["scale"],
+                                dtype).reshape(1, -1),
+                    jnp.asarray(sp["downsample"]["norm"]["bias"],
+                                dtype).reshape(1, -1))
+        return (jnp.ones((1, C), dtype), jnp.zeros((1, C), dtype))
+
     x = ev_seq.reshape((T * B,) + ev_seq.shape[2:])
     feats = {}
     states_out = []
     for idx in range(cfg.num_stages):
         sp = p[f"stage{idx + 1}"]
         is_stem = idx == 0
-        ds = ConvDownsample(
-            dim_out=cfg.stage_dims[idx],
-            downsample_factor=cfg.stem_patch_size if is_stem else 2,
-            cfg=cfg.downsample, dtype=dtype,
-            s2d_input=cfg.stem_s2d and is_stem,
-            in_channels=cfg.input_channels)
-        x = ds.apply({"params": sp["downsample"]}, x)
+        x = downsample_conv(x, sp, is_stem)  # pre-LN conv output, bf16
         h_dim, w_dim, C = x.shape[1:]
         x_seq = x.reshape(T, B, h_dim, w_dim, C)
         lp = sp["lstm"]["conv1x1"]
         lw = jnp.asarray(lp["kernel"], dtype).reshape(2 * C, 4 * C)
         lb = jnp.asarray(lp["bias"], dtype).reshape(1, -1)
         h0, c0 = init_states[idx]
+        ln_prm = downsample_ln_params(sp, C)
 
         if stage_fusion_supported(h_dim * w_dim * C, C):
             h_seq, hT, cT = fused_stage_scan(
@@ -203,9 +224,19 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                 heads=C // cfg.attention.dim_head,
                 dim_head=cfg.attention.dim_head,
                 part=tuple(cfg.attention.partition_size),
-                eps=cfg.attention.norm_eps, interpret=interpret)
+                eps=cfg.attention.norm_eps,
+                ds_ln_params=ln_prm, ds_eps=cfg.downsample.norm_eps,
+                interpret=interpret)
         else:
-            # oversized stage (gen4 stage 1): per-step fused pair + cell
+            # oversized stage (gen4 stage 1): per-step fused pair + cell;
+            # the downsample LN runs here in XLA (same math as in-kernel)
+            s, b_ = [a.astype(jnp.float32) for a in ln_prm]
+            xf = x_seq.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+            x_seq = ((xf - mu) * jax.lax.rsqrt(var + cfg.downsample.norm_eps)
+                     * s + b_).astype(dtype)
             pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
                                        skip_first_norm=True, dtype=dtype,
                                        fused=True)

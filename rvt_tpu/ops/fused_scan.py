@@ -41,9 +41,10 @@ from rvt_tpu.ops.fused_attention import (_N_PARAMS, _N_PARAMS_SFN, _DOT,
 Array = jax.Array
 
 
-def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
-    """refs: x_t, *attn_params, lstm_w, lstm_b, h0, c0 -> h_seq_t, h_T,
-    c_T, scratch (h_s, c_s)."""
+def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
+                       ds_ln, ds_eps):
+    """refs: x_t, [ds LN scale, bias,] *attn_params, lstm_w, lstm_b, h0,
+    c0 -> h_seq_t, h_T, c_T, scratch (h_s, c_s)."""
     x_ref = refs[0]
     lstm_w, lstm_b, h0_ref, c0_ref = refs[-9:-5]
     hseq_ref, hT_ref, cT_ref = refs[-5:-2]
@@ -57,7 +58,17 @@ def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
         h_s[...] = h0_ref[0]
         c_s[...] = c0_ref[0]
 
-    x_bf16 = x_ref[0, 0]
+    if ds_ln:
+        # the downsample conv's LayerNorm: a rowwise op, far cheaper here
+        # than as a standalone XLA pass over the whole window (the C=64
+        # lane reduce fuses badly out there)
+        from rvt_tpu.ops.fused_attention import _layer_norm_f32
+
+        x_bf16 = _layer_norm_f32(x_ref[0, 0].astype(jnp.float32),
+                                 prms[0][...], prms[1][...], ds_eps)
+        prms = prms[2:]
+    else:
+        x_bf16 = x_ref[0, 0]
     R = x_bf16.astype(jnp.float32)
     off = 0
     for window_mode, sfn, n in blocks:
@@ -95,29 +106,37 @@ def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "dim_head", "part", "eps", "interpret"))
+    static_argnames=("heads", "dim_head", "part", "eps", "ds_eps",
+                     "interpret"))
 def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
                      params_grid: Tuple[Array, ...], lstm_w: Array,
                      lstm_b: Array, h0: Array, c0: Array, *, heads: int,
                      dim_head: int, part: Tuple[int, int], eps: float,
+                     ds_ln_params: Tuple[Array, ...] = (),
+                     ds_eps: float = 1e-5,
                      interpret: bool = False
                      ) -> Tuple[Array, Array, Array]:
     """Scan one backbone stage over a whole [T, B, H, W, C] bf16 window.
 
     Returns (h_seq [T, B, H, W, C] bf16, h_T f32, c_T f32). The input
-    must already be downsampled + layer-normed (skip_first_norm chain).
+    must already be downsampled; when ``ds_ln_params`` = (scale, bias)
+    the downsample's LayerNorm runs inside the kernel (feed the raw conv
+    output), otherwise the input must already be normed.
     """
     T, B, H, W, C = x_seq.shape
     blocks = ((True, True, _N_PARAMS_SFN), (False, False, _N_PARAMS))
     kernel = functools.partial(
         _stage_scan_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
-        dh=dim_head, part=part, eps=eps)
+        dh=dim_head, part=part, eps=eps, ds_ln=bool(ds_ln_params),
+        ds_eps=ds_eps)
+    # time-major [T, B, ...] blocks (batch-major was tried: the input
+    # transposes it avoids are cheaper than its strided block walks)
     seq = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (t, b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     img = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_p = len(params_window) + len(params_grid)
+    n_p = len(ds_ln_params) + len(params_window) + len(params_grid)
     return pl.pallas_call(
         kernel,
         grid=(B, T),
@@ -131,4 +150,5 @@ def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(x_seq, *params_window, *params_grid, lstm_w, lstm_b, h0, c0)
+    )(x_seq, *ds_ln_params, *params_window, *params_grid,
+      lstm_w, lstm_b, h0, c0)

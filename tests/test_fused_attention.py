@@ -215,3 +215,45 @@ def test_fused_scan_backbone_matches_lax_scan():
     for (hr, cr), (hf, cf) in zip(st_r, st_f):
         np.testing.assert_allclose(np.asarray(hf), np.asarray(hr), atol=4e-2)
         np.testing.assert_allclose(np.asarray(cf), np.asarray(cr), atol=8e-2)
+
+
+def test_fused_scan_backbone_s2d_stem_in_kernel():
+    """stem_s2d serving: the folded 2x2 stem conv + LN run inside the
+    stage-1 scan kernel; must match the XLA module path."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector, zero_states
+    from rvt_tpu.models.detector import scan_backbone
+    from rvt_tpu.ops.s2d import device_space_to_depth
+
+    T, B = 2, 1
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    cfg = replace(cfg, model=replace(
+        cfg.model, compute_dtype="bfloat16",
+        backbone=replace(cfg.model.backbone, stem_s2d=True)))
+    model_ref, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                         batch_size=B)
+    cfg_f = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, fused_kernels=True)))
+    model_fused = RVTDetector(cfg=cfg_f.model)
+
+    H, W = cfg.model.backbone.in_res_hw
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 8, (T, B, 60, 76, 20)), jnp.uint8)
+    ev = device_space_to_depth(raw, (H, W))
+    states = zero_states(cfg.model.backbone, B)
+
+    feats_r, st_r = scan_backbone(model_ref, variables, ev, states,
+                                  remat=False)
+    feats_f, st_f = scan_backbone(model_fused, variables, ev, states,
+                                  remat=False)
+    assert feats_f[0].dtype == jnp.bfloat16
+    for fr, ff in zip(feats_r, feats_f):
+        fr = np.asarray(fr, np.float32)
+        ff = np.asarray(ff, np.float32)
+        scale = max(np.abs(fr).max(), 1.0)
+        assert np.abs(fr - ff).max() < 0.05 * scale
+    for (hr, cr), (hf, cf) in zip(st_r, st_f):
+        np.testing.assert_allclose(np.asarray(hf), np.asarray(hr), atol=4e-2)
