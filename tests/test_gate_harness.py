@@ -55,3 +55,21 @@ def test_size_inference_from_ckpt_name():
         mapped = {"t": "tiny", "s": "small", "b": "base"}[short]
         assert mapped == size
         assert ("gen1", size) in PAPER_MAP and ("gen4", size) in PAPER_MAP
+
+
+def test_run_gate_serve_fused(tmp_path):
+    """The gate also runs on the bf16 fused-kernel serving path (the
+    production config quantified against the f32 default)."""
+    from tools.run_gate import run_gate
+
+    data = make_mini_gen1_dataset(tmp_path, names=("a",))
+    ref = build_reference_detector(preset("gen1", "tiny", **PRESET_KW), seed=0)
+    ckpt = tmp_path / "rvt-t.ckpt"
+    torch.save({"state_dict": {f"mdl.{k}": v
+                               for k, v in ref.state_dict().items()}},
+               str(ckpt))
+    record = run_gate(ckpt, data.parent, "gen1", "tiny", split="val",
+                      batch_size=1, expected_map=0.0,
+                      preset_kwargs=PRESET_KW, serve_fused=True)
+    assert record["serve_fused"] is True
+    assert record["gate_pass"] is True

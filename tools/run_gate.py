@@ -39,11 +39,14 @@ GATE_BUDGET = 0.2  # max |delta| vs the reference checkpoint's mAP
 def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
              split: str = "test", batch_size: int = 8,
              expected_map: float | None = None,
-             preset_kwargs: dict | None = None) -> dict:
+             preset_kwargs: dict | None = None,
+             serve_fused: bool = False) -> dict:
     """Convert + evaluate one checkpoint; returns the gate record.
 
     preset_kwargs: config overrides (resolution_hw, sequence_length, ...)
     used by the fixture-dataset harness test; production runs pass none.
+    serve_fused: evaluate on the bf16 fused-kernel production serving
+    path (quantifies its mAP delta vs the f32 default).
     """
     import jax
 
@@ -55,6 +58,13 @@ def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
     from rvt_tpu.training.evaluator_loop import run_streaming_eval
 
     cfg = preset(dataset, size, **(preset_kwargs or {}))
+    if serve_fused:
+        from dataclasses import replace
+
+        cfg = replace(cfg, model=replace(
+            cfg.model, compute_dtype="bfloat16",
+            backbone=replace(cfg.model.backbone, stem_s2d=True,
+                             fused_kernels=True)))
     model = RVTDetector(cfg=cfg.model)
     variables = load_torch_checkpoint(str(ckpt))
 
@@ -67,6 +77,7 @@ def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
         "dataset": dataset,
         "size": size,
         "split": split,
+        "serve_fused": serve_fused,
         "checkpoint": str(ckpt),
         "num_recordings": len(streams),
         "device": jax.devices()[0].platform,
@@ -98,6 +109,8 @@ def main() -> None:
     ap.add_argument("--expected_map", type=float, default=None,
                     help="reference-checkpoint mAP to gate against "
                          "(<=0.2 delta); defaults to the paper value")
+    ap.add_argument("--serve_fused", action="store_true",
+                    help="evaluate on the bf16 fused-kernel serving path")
     args = ap.parse_args()
 
     size = args.size
@@ -112,7 +125,7 @@ def main() -> None:
         expected = PAPER_MAP.get((args.dataset, size))
     record = run_gate(args.ckpt, args.data, args.dataset, size,
                       split=args.split, batch_size=args.batch_size,
-                      expected_map=expected)
+                      expected_map=expected, serve_fused=args.serve_fused)
     print(json.dumps(record, indent=2))
     if record.get("gate_pass") is False:
         sys.exit(1)
