@@ -84,6 +84,7 @@ def model_input_hw_c(cfg: ModelConfig) -> Tuple[int, int, int]:
 def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                   init_states: LstmStates, token_mask_seq: Optional[Array] = None,
                   deterministic: bool = True, remat: bool = True,
+                  remat_policy=None,
                   ) -> Tuple[Tuple[Array, ...], LstmStates]:
     """Run the recurrent backbone over a [T, B, H, W, C] window.
 
@@ -112,7 +113,11 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
         return new_states, tuple(feats[s] for s in in_stages)
 
     if remat:
-        step = jax.checkpoint(step)
+        # remat_policy selects which intermediates of the step body are
+        # saved instead of recomputed in the backward pass (e.g.
+        # jax.checkpoint_policies.dots_with_no_batch_dims_saveable keeps
+        # matmul outputs); None = recompute everything.
+        step = jax.checkpoint(step, policy=remat_policy)
 
     if token_mask_seq is None:
         token_mask_seq = jnp.zeros(
