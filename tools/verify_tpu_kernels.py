@@ -73,7 +73,48 @@ def main() -> int:
 
     failures += _verify_fused_lstm()
     failures += _verify_fused_attention()
+    failures += _verify_stage_scan()
     return failures
+
+
+def _verify_stage_scan() -> int:
+    """Lowered whole-window stage-scan kernel vs the per-step lax.scan
+    module path on the full tiny detector geometry."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector, zero_states
+    from rvt_tpu.models.detector import scan_backbone
+
+    T, B = 4, 2
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    cfg = replace(cfg, model=replace(cfg.model, compute_dtype="bfloat16"))
+    model_ref, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                         batch_size=B)
+    cfg_f = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, fused_kernels=True)))
+    model_fused = RVTDetector(cfg=cfg_f.model)
+    H, W = cfg.model.backbone.in_res_hw
+    rng = np.random.RandomState(0)
+    ev = jnp.asarray(rng.randint(0, 8, (T, B, H, W, 20)), jnp.float32)
+    states = zero_states(cfg.model.backbone, B)
+    feats_r, st_r = scan_backbone(model_ref, variables, ev, states,
+                                  remat=False)
+    feats_f, st_f = scan_backbone(model_fused, variables, ev, states,
+                                  remat=False)
+    ok = True
+    for fr, ff in zip(feats_r, feats_f):
+        d = float(jnp.max(jnp.abs(ff.astype(jnp.float32)
+                                  - fr.astype(jnp.float32))))
+        s = float(jnp.max(jnp.abs(fr.astype(jnp.float32))))
+        ok &= d < 0.05 * max(s, 1.0)
+    for (hr, _), (hf, _) in zip(st_r, st_f):
+        ok &= float(jnp.max(jnp.abs(hf - hr))) < 5e-2
+    print(f"stage_scan/tiny-4step: {'OK' if ok else 'MISMATCH'}")
+    return int(not ok)
 
 
 def _verify_fused_lstm() -> int:
