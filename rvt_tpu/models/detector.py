@@ -102,6 +102,17 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     if (deterministic and not remat and token_mask_seq is None
             and _fused_scan_supported(model)):
         return fused_scan_backbone(model, variables, ev_seq, init_states)
+    if (not deterministic and token_mask_seq is None
+            and _fused_scan_supported(model) and jax.device_count() == 1):
+        # The custom-VJP Pallas steps do not auto-partition over a mesh;
+        # multi-device data-parallel training takes the XLA path below.
+        # Training with fused kernels: per-stage custom-VJP Pallas steps
+        # (ops/fused_train.py) under lax.scan — BPTT carries and per-step
+        # parameter-cotangent accumulation handled by the scan transpose.
+        # The custom VJP recomputes the forward in-kernel, so the memory
+        # plan is fixed by design and the ``remat`` flag is ignored here.
+        return fused_train_scan_backbone(model, variables, ev_seq,
+                                         init_states)
 
     in_stages = model.cfg.fpn.in_stages
 
@@ -169,7 +180,7 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     """
     from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
     from rvt_tpu.ops.fused_attention import (attention_block_params,
-                                             stage_fusion_supported)
+                                             stage_fusion_mode)
     from rvt_tpu.ops.fused_scan import fused_stage_scan
     from rvt_tpu.ops.s2d import fold_stem_kernel
 
@@ -220,7 +231,9 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
         h0, c0 = init_states[idx]
         ln_prm = downsample_ln_params(sp, C)
 
-        if stage_fusion_supported(h_dim * w_dim * C, C):
+        mode = stage_fusion_mode(h_dim, w_dim, C,
+                                 tuple(cfg.attention.partition_size))
+        if mode is not None:
             h_seq, hT, cT = fused_stage_scan(
                 x_seq,
                 attention_block_params(sp["block0"]["att_window"], True),
@@ -231,6 +244,7 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                 part=tuple(cfg.attention.partition_size),
                 eps=cfg.attention.norm_eps,
                 ds_ln_params=ln_prm, ds_eps=cfg.downsample.norm_eps,
+                dense=mode == "dense",
                 interpret=interpret)
         else:
             # oversized stage (gen4 stage 1): per-step fused pair + cell;
@@ -258,6 +272,129 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
 
             (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
 
+        states_out.append((hT, cT))
+        feats[idx + 1] = h_seq
+        x = h_seq.reshape(T * B, h_dim, w_dim, C)
+
+    in_stages = model.cfg.fpn.in_stages
+    return tuple(feats[s] for s in in_stages), tuple(states_out)
+
+
+def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
+                              init_states: LstmStates
+                              ) -> Tuple[Tuple[Array, ...], LstmStates]:
+    """Differentiable fused backbone scan for TRAINING.
+
+    Same structure as ``fused_scan_backbone`` (downsample convs in XLA,
+    batched over the whole window) but each stage timestep is the
+    custom-VJP Pallas kernel ``ops/fused_train.fused_stage_step_train``
+    under ``lax.scan``: the scan transpose chains the (dh, dc) BPTT
+    carries and accumulates per-step parameter cotangents. Stages outside
+    the train-kernel envelope (gen4 stage 1) run the XLA module path
+    under ``jax.checkpoint``.
+
+    Single-device jit only (Pallas calls do not auto-partition over a
+    mesh); multi-device data-parallel training uses the XLA path.
+    Reference loop: modules/detection.py:131-158.
+    """
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
+    from rvt_tpu.ops.fused_train import (fused_stage_step_train,
+                                         train_block_params,
+                                         train_stage_mode)
+    from rvt_tpu.ops.s2d import fold_stem_kernel
+
+    cfg = model.cfg.backbone
+    p = variables["params"]["backbone"]
+    interpret = jax.default_backend() == "cpu"
+    T, B = ev_seq.shape[:2]
+    dtype = jnp.bfloat16
+
+    def downsample_conv(x, sp, is_stem):
+        w = jnp.asarray(sp["downsample"]["conv"]["kernel"], jnp.float32)
+        if is_stem and cfg.stem_s2d:
+            w, strides, pad = fold_stem_kernel(w), (1, 1), [(0, 0), (0, 0)]
+        elif is_stem:
+            k = w.shape[0]
+            strides = (cfg.stem_patch_size,) * 2
+            pad = [(k // 2, k // 2)] * 2 if cfg.downsample.overlap else [(0, 0)] * 2
+        else:
+            k = w.shape[0]
+            strides, pad = (2, 2), ([(k // 2, k // 2)] * 2
+                                    if cfg.downsample.overlap else [(0, 0)] * 2)
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def downsample_ln_params(sp, C):
+        if cfg.downsample.norm_affine:
+            return (jnp.asarray(sp["downsample"]["norm"]["scale"],
+                                dtype).reshape(1, -1),
+                    jnp.asarray(sp["downsample"]["norm"]["bias"],
+                                dtype).reshape(1, -1))
+        return (jnp.ones((1, C), dtype), jnp.zeros((1, C), dtype))
+
+    x = ev_seq.reshape((T * B,) + ev_seq.shape[2:])
+    feats = {}
+    states_out = []
+    for idx in range(cfg.num_stages):
+        sp = p[f"stage{idx + 1}"]
+        is_stem = idx == 0
+        x = downsample_conv(x, sp, is_stem)  # pre-LN conv output, bf16
+        h_dim, w_dim, C = x.shape[1:]
+        x_seq = x.reshape(T, B, h_dim, w_dim, C)
+        lp = sp["lstm"]["conv1x1"]
+        lw = jnp.asarray(lp["kernel"], dtype).reshape(2 * C, 4 * C)
+        lb = jnp.asarray(lp["bias"], dtype).reshape(1, -1)
+        h0, c0 = init_states[idx]
+        ln_prm = downsample_ln_params(sp, C)
+        part = tuple(cfg.attention.partition_size)
+        mode = train_stage_mode(h_dim, w_dim, C, part)
+
+        if mode is not None:
+            step_cfg = (C // cfg.attention.dim_head,
+                        cfg.attention.dim_head, part,
+                        cfg.attention.norm_eps, cfg.downsample.norm_eps,
+                        mode == "dense", interpret)
+            win = train_block_params(sp["block0"]["att_window"], True)
+            grd = train_block_params(sp["block0"]["att_grid"], False)
+
+            def stage_step(carry, x_t, step_cfg=step_cfg, ln_prm=ln_prm,
+                           win=win, grd=grd, lw=lw, lb=lb):
+                h, c = carry
+                h_t, c_t = fused_stage_step_train(
+                    step_cfg, x_t, ln_prm[0], ln_prm[1], win, grd, lw,
+                    lb, h, c)
+                return (h_t, c_t), h_t.astype(dtype)
+        else:
+            # oversized stage: XLA modules (natively differentiable),
+            # downsample LN in XLA, rematerialised per step
+            s_, b_ = [a.astype(jnp.float32) for a in ln_prm]
+
+            def ln(x_t):
+                xf = x_t.astype(jnp.float32)
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.maximum(
+                    jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
+                    0.0)
+                return ((xf - mu) * jax.lax.rsqrt(
+                    var + cfg.downsample.norm_eps) * s_ + b_).astype(dtype)
+
+            pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
+                                       skip_first_norm=True, dtype=dtype,
+                                       fused=False)
+            cell = DWSConvLSTM2d(dim=C, cfg=cfg.lstm, dtype=dtype,
+                                 fused=False)
+            pvars = {"params": sp["block0"]}
+            cvars = {"params": {"conv1x1": lp}}
+
+            @jax.checkpoint
+            def stage_step(carry, x_t, pair=pair, cell=cell, pvars=pvars,
+                           cvars=cvars, ln=ln):
+                y = pair.apply(pvars, ln(x_t), False)
+                h_t, c_t = cell.apply(cvars, y, carry, False)
+                return (h_t, c_t), h_t.astype(dtype)
+
+        (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
         states_out.append((hT, cT))
         feats[idx + 1] = h_seq
         x = h_seq.reshape(T * B, h_dim, w_dim, C)

@@ -263,24 +263,30 @@ class MaxVitAttentionPair(nn.Module):
     dtype: Optional[jnp.dtype] = None
     fused: bool = False
 
-    def _fused_supported(self, deterministic: bool, x: Array) -> bool:
+    def _fused_mode(self, deterministic: bool, x: Array):
+        """'part' | 'dense' | None. Combines the structural gate (shipped
+        config shape, bf16, inference) with the VMEM + Mosaic-geometry
+        envelopes (ops/fused_attention.pair_fusion_mode): the 1M-element
+        bound admits gen4 stage 1 (96x160x64, verified on v5e); small
+        maps whose partition chunks Mosaic cannot lane-split run
+        masked-dense; everything else falls back to the XLA path."""
         cfg = self.cfg
-        # VMEM bound: the kernel holds the f32 residual and qkv per image
-        # (the MLP runs row-chunked, so it no longer drives the peak).
-        # 1M elements/image admits gen4 stage 1 (96x160x64, verified on
-        # v5e); beyond that the Mosaic scoped-vmem stack would overflow —
-        # fall back to the XLA path.
-        per_image = x.shape[1] * x.shape[2] * x.shape[3]
-        return (self.fused and deterministic and not self.is_initializing()
-                and self.dtype == jnp.bfloat16 and not cfg.mlp_gated
-                and cfg.attention_bias and cfg.mlp_bias
-                and cfg.ls_init_value > 0 and cfg.drop_path == 0.0
-                and cfg.drop_mlp == 0.0 and cfg.mlp_activation == "gelu"
-                and per_image <= 1024 * 1024)
+        ok = (self.fused and deterministic and not self.is_initializing()
+              and self.dtype == jnp.bfloat16 and not cfg.mlp_gated
+              and cfg.attention_bias and cfg.mlp_bias
+              and cfg.ls_init_value > 0 and cfg.drop_path == 0.0
+              and cfg.drop_mlp == 0.0 and cfg.mlp_activation == "gelu")
+        if not ok:
+            return None
+        from rvt_tpu.ops.fused_attention import pair_fusion_mode
+
+        return pair_fusion_mode(x.shape[1], x.shape[2], x.shape[3],
+                                tuple(cfg.partition_size))
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        if self._fused_supported(deterministic, x):
+        mode = self._fused_mode(deterministic, x)
+        if mode is not None:
             from rvt_tpu.ops.fused_attention import (attention_block_params,
                                                      fused_attention_pair)
 
@@ -294,6 +300,7 @@ class MaxVitAttentionPair(nn.Module):
                 part=tuple(self.cfg.partition_size),
                 skip_first_norm=self.skip_first_norm,
                 eps=self.cfg.norm_eps,
+                dense=mode == "dense",
                 interpret=jax.default_backend() == "cpu")
 
         x = PartitionAttention(dim=self.dim, partition_window=True, cfg=self.cfg,

@@ -61,6 +61,57 @@ _N_PARAMS = 12
 _N_PARAMS_SFN = 10
 
 
+def partition_geometry_ok(H: int, W: int, part: Tuple[int, int]) -> bool:
+    """Mosaic shape-cast envelope for the *partitioned* attention path.
+
+    The partition reshapes split the tiled W / token dims; Mosaic's
+    infer-vector-layout only supports such splits when the minor chunk is
+    at least the 8-sublane tile or the split is trivial (outer factor 1,
+    or chunk 1). Observed on v5e: W=80 -> (8, 10) lowers, W=24 -> (8, 3)
+    is rejected ("unsupported shape cast", docs/ROUND2.md Mosaic notes).
+    Geometries outside this envelope use the masked-dense path instead
+    (see ``dense_attention_ok``)."""
+    ph, pw = part
+    if H % ph or W % pw:
+        return False
+    nh, nw = H // ph, W // pw
+
+    def split_ok(outer: int, minor: int) -> bool:
+        return minor >= 8 or outer == 1 or minor == 1
+
+    return (split_ok(nw, pw)            # window mode: W -> (nw, pw)
+            and split_ok(pw, nw)        # grid mode:   W -> (pw, nw)
+            and split_ok(nh * nw, ph * pw))  # tokens -> (parts, N)
+
+
+def dense_attention_ok(H: int, W: int) -> bool:
+    """Envelope for the masked-dense path: the [T, T] per-head score
+    tensor must stay small (f32 scores <= 4 MB)."""
+    return H * W <= 1024
+
+
+def partition_bias(H: int, W: int, part: Tuple[int, int],
+                   window_mode: bool) -> Array:
+    """[T, T] additive attention-bias mask for the masked-dense path:
+    0 where tokens share a partition, -1e30 otherwise. Token order is
+    row-major (no reordering happens in dense mode); bf16 keeps VMEM
+    small (the f32 range of the exponent makes -1e30 exact enough)."""
+    import numpy as np
+
+    ph, pw = part
+    ids = np.arange(H * W)
+    r, c = ids // W, ids % W
+    if window_mode:
+        pid = (r // ph) * (W // pw) + (c // pw)
+    else:
+        # grid partition: same partition iff same (r % nh, c % nw),
+        # see models/layers.py:grid_partition
+        nh, nw = H // ph, W // pw
+        pid = (r % nh) * nw + (c % nw)
+    mask = pid[:, None] == pid[None, :]
+    return jnp.asarray(np.where(mask, 0.0, -1e30), jnp.bfloat16)
+
+
 def _layer_norm_f32(x_f32: Array, scale_bf16: Array, bias_bf16: Array,
                     eps: float) -> Array:
     """flax LayerNorm semantics: f32 stats (fast variance), affine applied
@@ -77,10 +128,13 @@ def _gelu(x_bf16: Array) -> Array:
     """gelu for Mosaic (lax.erf has no Pallas TPU lowering). The tanh
     formulation (one hardware transcendental + 7 VPU ops, vs ~22 for an
     erf rational approximation) deviates from exact-erf gelu by < 1.1e-3
-    absolute — below a bf16 ULP over the active range, so at most an
-    occasional last-bit difference after the bf16 cast. The VPU time this
-    buys is ~100 us per stage-1 kernel invocation (gelu runs on the 4x
-    expanded MLP hidden, the largest tensor in the block)."""
+    absolute — a few bf16 ULPs in the negative tail (near x~=-2,
+    |gelu|~=0.045 where a bf16 ULP is ~3.5e-4), exact to the last bit
+    over most of the active range. The end-to-end impact is bounded by
+    the model parity tolerance (rtol 1e-3) and ultimately by the mAP
+    gate. The VPU time this buys is ~100 us per stage-1 kernel
+    invocation (gelu runs on the 4x expanded MLP hidden, the largest
+    tensor in the block)."""
     xf = x_bf16.astype(jnp.float32)
     inner = 0.7978845608028654 * (xf + 0.044715 * xf * xf * xf)
     y = 0.5 * xf * (1.0 + jnp.tanh(inner))
@@ -90,15 +144,25 @@ def _gelu(x_bf16: Array) -> Array:
 def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
                skip_first_norm: bool, x_in_bf16: Array, H: int, W: int,
                C: int, heads: int, dh: int, part: Tuple[int, int],
-               eps: float) -> Array:
+               eps: float, bias=None) -> Array:
     """One PartitionAttention sub-block on the f32 residual R. Returns the
     updated residual. ``x_in_bf16`` is only used when skip_first_norm (the
-    downsample's LN output enters attention unnormalised)."""
+    downsample's LN output enters attention unnormalised).
+
+    ``bias=None``: the partitioned path — R is [H, W, C] and tokens are
+    gathered per partition via reshape/transpose (requires
+    ``partition_geometry_ok``). ``bias`` set (a [T, T] bf16 ref): the
+    masked-dense path — R is [T, C], attention runs over ALL tokens with
+    the partition structure imposed by the additive bias (0 within a
+    partition, -1e30 across). Same math, no W-dim shape casts — this is
+    how small/nonstandard geometries (whose partition chunks Mosaic
+    cannot lane-split) stay fused."""
     ph, pw = part
     nh, nw = H // ph, W // pw
     n_tokens = ph * pw
     n_parts = nh * nw
     T = H * W
+    dense = bias is not None
     i = 0
     if skip_first_norm:
         xa = x_in_bf16
@@ -108,43 +172,64 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
     (qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
      fc1_w, fc1_b, fc2_w, fc2_b) = prm[i:i + 10]
 
-    if window_mode:
-        p = xa.reshape(nh, ph, nw, pw, C).transpose(0, 2, 1, 3, 4)
+    if dense:
+        tokens = xa  # [T, C], row-major — no reordering in dense mode
     else:
-        p = xa.reshape(ph, nh, pw, nw, C).transpose(1, 3, 0, 2, 4)
-    tokens = p.reshape(n_parts * n_tokens, C)
+        if window_mode:
+            p = xa.reshape(nh, ph, nw, pw, C).transpose(0, 2, 1, 3, 4)
+        else:
+            p = xa.reshape(ph, nh, pw, nw, C).transpose(1, 3, 0, 2, 4)
+        tokens = p.reshape(n_parts * n_tokens, C)
 
     qkv = jax.lax.dot_general(tokens, qkv_w[...],
                               dimension_numbers=(((1,), (0,)), ((), ())),
                               **_DOT).astype(jnp.bfloat16) + qkv_b[...]
-    qkv = qkv.reshape(n_parts, n_tokens, 3 * C)
+    if not dense:
+        qkv = qkv.reshape(n_parts, n_tokens, 3 * C)
     head_outs = []
     for h_i in range(heads):
         base = h_i * 3 * dh
-        q = qkv[:, :, base:base + dh]
-        k = qkv[:, :, base + dh:base + 2 * dh]
-        v = qkv[:, :, base + 2 * dh:base + 3 * dh]
-        # transposed scores [nP, N_k, N_q]: softmax reduces over sublanes
-        scores_t = jax.lax.dot_general(
-            k, q, dimension_numbers=(((2,), (2,)), ((0,), (0,))), **_DOT)
-        probs_t = jax.nn.softmax(scores_t * (dh ** -0.5),
-                                 axis=1).astype(jnp.bfloat16)
-        o = jax.lax.dot_general(
-            probs_t, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            **_DOT)
+        if dense:
+            q = qkv[:, base:base + dh]
+            k = qkv[:, base + dh:base + 2 * dh]
+            v = qkv[:, base + 2 * dh:base + 3 * dh]
+            # transposed scores [T_k, T_q] + partition mask bias; softmax
+            # reduces over sublanes as in the partitioned path
+            scores_t = jax.lax.dot_general(
+                k, q, dimension_numbers=(((1,), (1,)), ((), ())), **_DOT)
+            scores_t = (scores_t * (dh ** -0.5)
+                        + bias[...].astype(jnp.float32))
+            probs_t = jax.nn.softmax(scores_t, axis=0).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                probs_t, v, dimension_numbers=(((0,), (0,)), ((), ())),
+                **_DOT)
+        else:
+            q = qkv[:, :, base:base + dh]
+            k = qkv[:, :, base + dh:base + 2 * dh]
+            v = qkv[:, :, base + 2 * dh:base + 3 * dh]
+            # transposed scores [nP, N_k, N_q]: softmax reduces over sublanes
+            scores_t = jax.lax.dot_general(
+                k, q, dimension_numbers=(((2,), (2,)), ((0,), (0,))), **_DOT)
+            probs_t = jax.nn.softmax(scores_t * (dh ** -0.5),
+                                     axis=1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                probs_t, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                **_DOT)
         head_outs.append(o.astype(jnp.bfloat16))
-    out = jnp.concatenate(head_outs, axis=-1)  # [nP, N_q, C]
+    out = jnp.concatenate(head_outs, axis=-1)  # [nP, N_q, C] / [T, C]
 
-    out = out.reshape(n_parts * n_tokens, C)
+    if not dense:
+        out = out.reshape(n_parts * n_tokens, C)
     out = jax.lax.dot_general(out, proj_w[...],
                               dimension_numbers=(((1,), (0,)), ((), ())),
                               **_DOT).astype(jnp.bfloat16) + proj_b[...]
-    out = out.reshape(n_parts, n_tokens, C)
-    if window_mode:
-        out = out.reshape(nh, nw, ph, pw, C).transpose(0, 2, 1, 3, 4)
-    else:
-        out = out.reshape(nh, nw, ph, pw, C).transpose(2, 0, 3, 1, 4)
-    out = out.reshape(H, W, C)
+    if not dense:
+        out = out.reshape(n_parts, n_tokens, C)
+        if window_mode:
+            out = out.reshape(nh, nw, ph, pw, C).transpose(0, 2, 1, 3, 4)
+        else:
+            out = out.reshape(nh, nw, ph, pw, C).transpose(2, 0, 3, 1, 4)
+        out = out.reshape(H, W, C)
     R = R + out.astype(jnp.float32)
 
     # The MLP is token-pointwise, so it runs in row chunks: the f32 gelu
@@ -169,23 +254,32 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 **_DOT).astype(jnp.bfloat16) + fc2_b[...]
         outs.append(y)
-    y = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-         ).reshape(H, W, C)
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    y = y if dense else y.reshape(H, W, C)
     return R + y.astype(jnp.float32)
 
 
-def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
-    """blocks: sequence of (window_mode, skip_first_norm, n_params)."""
+def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps, dense):
+    """blocks: sequence of (window_mode, skip_first_norm, n_params).
+    With ``dense`` the last two param refs are the window/grid partition
+    bias masks and the image block is [T, C]."""
     x_ref = refs[0]
     o_ref = refs[-1]
-    prms = refs[1:-1]
+    if dense:
+        bias_w, bias_g = refs[-3:-1]
+        prms = refs[1:-3]
+    else:
+        bias_w = bias_g = None
+        prms = refs[1:-1]
     R = x_ref[0].astype(jnp.float32)
     x_bf16 = x_ref[0].astype(jnp.bfloat16)
     off = 0
     for window_mode, sfn, n in blocks:
         R = _one_block(R, prms[off:off + n], window_mode=window_mode,
                        skip_first_norm=sfn, x_in_bf16=x_bf16, H=H, W=W,
-                       C=C, heads=heads, dh=dh, part=part, eps=eps)
+                       C=C, heads=heads, dh=dh, part=part, eps=eps,
+                       bias=(bias_w if window_mode else bias_g)
+                       if dense else None)
         off += n
         x_bf16 = None  # only the first block may skip its input norm
     o_ref[0] = R
@@ -194,29 +288,45 @@ def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
 @functools.partial(
     jax.jit,
     static_argnames=("blocks", "heads", "dim_head", "part", "eps",
-                     "interpret"))
+                     "dense", "interpret"))
 def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
                            blocks: Tuple[Tuple[bool, bool, int], ...],
                            heads: int, dim_head: int,
                            part: Tuple[int, int], eps: float,
+                           dense: bool = False,
                            interpret: bool = False) -> Array:
     """Run one or more PartitionAttention sub-blocks as a single fused
     kernel. x: [B, H, W, C] (bf16 or f32); params: concatenated per-block
     tuples (see ``attention_block_params``). Returns the f32 residual
-    stream [B, H, W, C] (the XLA path's promoted dtype)."""
+    stream [B, H, W, C] (the XLA path's promoted dtype).
+
+    ``dense`` selects the masked-dense small-geometry path (tokens stay
+    [T, C] in-kernel, partition structure via additive masks)."""
     B, H, W, C = x.shape
     kernel = functools.partial(
         _blocks_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
-        dh=dim_head, part=part, eps=eps)
-    param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params]
-    return pl.pallas_call(
+        dh=dim_head, part=part, eps=eps, dense=dense)
+    extra = ((partition_bias(H, W, part, True),
+              partition_bias(H, W, part, False)) if dense else ())
+    if dense:
+        T = H * W
+        x_in = x.reshape(B, T, C)
+        img = pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, T, C), jnp.float32)
+    else:
+        x_in = x
+        img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)
+    param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
+                   for _ in range(len(params) + len(extra))]
+    out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM)] + param_specs,
-        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        in_specs=[img] + param_specs,
+        out_specs=img,
+        out_shape=out_shape,
         # gen1 stage-1's working set peaks just above the default 16 MB
         # scoped VMEM stack limit; gen4 stage-1 (96x160, 983k elements per
         # image) needs ~53 MB (f32 qkv accumulators + per-head score
@@ -227,25 +337,34 @@ def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
             vmem_limit_bytes=(64 if H * W * C > 512 * 1024 else 32)
             * 1024 * 1024),
         interpret=interpret,
-    )(x, *params)
+    )(x_in, *params, *extra)
+    return out.reshape(B, H, W, C) if dense else out
 
 
-def _stage_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
+def _stage_kernel(*refs, blocks, H, W, C, heads, dh, part, eps, dense):
     """Whole backbone stage: attention block chain + ConvLSTM cell in one
-    kernel. refs: x, *attn_params, lstm_w, lstm_b, h_in, c_in -> h_out,
-    c_out. The residual stream never leaves VMEM; LSTM numerics mirror
-    ops/fused_lstm.py exactly (bf16 matmul/gates, f32 cell update)."""
+    kernel. refs: x, *attn_params, [bias_w, bias_g,] lstm_w, lstm_b,
+    h_in, c_in -> h_out, c_out. The residual stream never leaves VMEM;
+    LSTM numerics mirror ops/fused_lstm.py exactly (bf16 matmul/gates,
+    f32 cell update)."""
     x_ref = refs[0]
     lstm_w, lstm_b, h_ref, c_ref = refs[-6:-2]
     ho_ref, co_ref = refs[-2:]
-    prms = refs[1:-6]
+    if dense:
+        bias_w, bias_g = refs[-8:-6]
+        prms = refs[1:-8]
+    else:
+        bias_w = bias_g = None
+        prms = refs[1:-6]
     R = x_ref[0].astype(jnp.float32)
     x_bf16 = x_ref[0].astype(jnp.bfloat16)
     off = 0
     for window_mode, sfn, n in blocks:
         R = _one_block(R, prms[off:off + n], window_mode=window_mode,
                        skip_first_norm=sfn, x_in_bf16=x_bf16, H=H, W=W,
-                       C=C, heads=heads, dh=dh, part=part, eps=eps)
+                       C=C, heads=heads, dh=dh, part=part, eps=eps,
+                       bias=(bias_w if window_mode else bias_g)
+                       if dense else None)
         off += n
         x_bf16 = None
     T = H * W
@@ -272,55 +391,108 @@ def _stage_kernel(*refs, blocks, H, W, C, heads, dh, part, eps):
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "dim_head", "part", "skip_first_norm",
-                     "eps", "interpret"))
+                     "eps", "dense", "interpret"))
 def fused_stage(x: Array, params_window: Tuple[Array, ...],
                 params_grid: Tuple[Array, ...], lstm_w: Array,
                 lstm_b: Array, h: Array, c: Array, *, heads: int,
                 dim_head: int, part: Tuple[int, int],
-                skip_first_norm: bool, eps: float,
+                skip_first_norm: bool, eps: float, dense: bool = False,
                 interpret: bool = False) -> Tuple[Array, Array]:
     """One whole backbone stage after the downsample — window+grid
     attention pair and the ConvLSTM cell — as a single kernel per image.
     Returns (h_t, c_t), both f32 [B, H, W, C]. Caller must have checked
-    ``stage_fusion_supported``."""
+    ``stage_fusion_mode``."""
     B, H, W, C = x.shape
     blocks = ((True, skip_first_norm,
                _N_PARAMS_SFN if skip_first_norm else _N_PARAMS),
               (False, False, _N_PARAMS))
     kernel = functools.partial(
         _stage_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
-        dh=dim_head, part=part, eps=eps)
-    img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
+        dh=dim_head, part=part, eps=eps, dense=dense)
+    if dense:
+        T = H * W
+        x_in = x.reshape(B, T, C)
+        h_in, c_in = h.reshape(B, T, C), c.reshape(B, T, C)
+        img = pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        oshape = (B, T, C)
+        extra = (partition_bias(H, W, part, True),
+                 partition_bias(H, W, part, False))
+    else:
+        x_in, h_in, c_in = x, h, c
+        img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        oshape = (B, H, W, C)
+        extra = ()
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_p = len(params_window) + len(params_grid)
-    return pl.pallas_call(
+    n_p = len(params_window) + len(params_grid) + len(extra)
+    h_t, c_t = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[img] + [full] * n_p + [full, full, img, img],
         out_specs=(img, img),
-        out_shape=(jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(oshape, jnp.float32),
+                   jax.ShapeDtypeStruct(oshape, jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(x, *params_window, *params_grid, lstm_w, lstm_b, h, c)
+    )(x_in, *params_window, *params_grid, *extra, lstm_w, lstm_b,
+      h_in, c_in)
+    if dense:
+        return h_t.reshape(B, H, W, C), c_t.reshape(B, H, W, C)
+    return h_t, c_t
+
+
+def stage_fusion_mode(H: int, W: int, C: int,
+                      part: Tuple[int, int]) -> str | None:
+    """Execution mode for the whole-stage/stage-scan kernels at this
+    geometry: 'part' (partitioned reshapes), 'dense' (masked-dense small
+    maps), or None (fall back to per-step kernels / XLA). Combines the
+    VMEM envelope (same pair criterion as ``fused_attention_pair`` plus
+    the LSTM weights/gates, ~+5 MB at C=512) with the Mosaic shape-cast
+    envelope (``partition_geometry_ok``)."""
+    per_image_elems = H * W * C
+    weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C) + 2 * 2 * C * 4 * C
+    act_bytes = 14 * per_image_elems
+    if (weight_bytes + act_bytes > 24 * 2 ** 20
+            or per_image_elems > 512 * 1024):
+        return None
+    if partition_geometry_ok(H, W, part):
+        return "part"
+    if dense_attention_ok(H, W):
+        return "dense"
+    return None
 
 
 def stage_fusion_supported(per_image_elems: int, C: int) -> bool:
-    """VMEM envelope for the whole-stage kernel: same pair criterion as
-    ``fused_attention_pair`` plus the LSTM weights/gates (~+5 MB at
-    C=512)."""
+    """Deprecated VMEM-only check kept for callers that pre-screen sizes;
+    prefer ``stage_fusion_mode`` (adds the Mosaic geometry envelope)."""
     weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C) + 2 * 2 * C * 4 * C
     act_bytes = 14 * per_image_elems
     return (weight_bytes + act_bytes <= 24 * 2 ** 20
             and per_image_elems <= 512 * 1024)
 
 
+def pair_fusion_mode(H: int, W: int, C: int,
+                     part: Tuple[int, int]) -> str | None:
+    """Execution mode for the attention-pair kernels ('part' | 'dense' |
+    None). The VMEM bound (1M elements/image, gen4 stage 1 verified on
+    v5e) is as before; geometries whose partition chunks Mosaic cannot
+    lane-split use the masked-dense path when small enough."""
+    if H * W * C > 1024 * 1024:
+        return None
+    if partition_geometry_ok(H, W, part):
+        return "part"
+    if dense_attention_ok(H, W):
+        return "dense"
+    return None
+
+
 def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
                          params_grid: Tuple[Array, ...], *, heads: int,
                          dim_head: int, part: Tuple[int, int],
                          skip_first_norm: bool, eps: float,
+                         dense: bool = False,
                          interpret: bool = False) -> Array:
     """Window attention followed by grid attention (one MaxViT block).
 
@@ -342,15 +514,16 @@ def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
                   (False, False, _N_PARAMS))
         return fused_attention_blocks(
             x, params_window + params_grid, blocks=blocks, heads=heads,
-            dim_head=dim_head, part=part, eps=eps, interpret=interpret)
+            dim_head=dim_head, part=part, eps=eps, dense=dense,
+            interpret=interpret)
     n_win = _N_PARAMS_SFN if skip_first_norm else _N_PARAMS
     y = fused_attention_blocks(
         x, params_window, blocks=((True, skip_first_norm, n_win),),
-        heads=heads, dim_head=dim_head, part=part, eps=eps,
+        heads=heads, dim_head=dim_head, part=part, eps=eps, dense=dense,
         interpret=interpret)
     return fused_attention_blocks(
         y, params_grid, blocks=((False, False, _N_PARAMS),),
-        heads=heads, dim_head=dim_head, part=part, eps=eps,
+        heads=heads, dim_head=dim_head, part=part, eps=eps, dense=dense,
         interpret=interpret)
 
 

@@ -42,14 +42,21 @@ Array = jax.Array
 
 
 def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
-                       ds_ln, ds_eps):
-    """refs: x_t, [ds LN scale, bias,] *attn_params, lstm_w, lstm_b, h0,
-    c0 -> h_seq_t, h_T, c_T, scratch (h_s, c_s)."""
+                       ds_ln, ds_eps, dense):
+    """refs: x_t, [ds LN scale, bias,] *attn_params, [bias_w, bias_g,]
+    lstm_w, lstm_b, h0, c0 -> h_seq_t, h_T, c_T, scratch (h_s, c_s).
+    With ``dense`` the image blocks are [T, C] (masked-dense attention,
+    see fused_attention._one_block)."""
     x_ref = refs[0]
     lstm_w, lstm_b, h0_ref, c0_ref = refs[-9:-5]
     hseq_ref, hT_ref, cT_ref = refs[-5:-2]
     h_s, c_s = refs[-2:]
-    prms = refs[1:-9]
+    if dense:
+        bias_w, bias_g = refs[-11:-9]
+        prms = refs[1:-11]
+    else:
+        bias_w = bias_g = None
+        prms = refs[1:-9]
 
     t = pl.program_id(1)
 
@@ -74,7 +81,9 @@ def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
     for window_mode, sfn, n in blocks:
         R = _one_block(R, prms[off:off + n], window_mode=window_mode,
                        skip_first_norm=sfn, x_in_bf16=x_bf16, H=H, W=W,
-                       C=C, heads=heads, dh=dh, part=part, eps=eps)
+                       C=C, heads=heads, dh=dh, part=part, eps=eps,
+                       bias=(bias_w if window_mode else bias_g)
+                       if dense else None)
         off += n
         x_bf16 = None
 
@@ -94,8 +103,8 @@ def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
                           ).astype(jnp.bfloat16).astype(jnp.float32)
     c_t = (forget_gate * c_s[...].reshape(T, C) + input_gate * cell_input)
     h_t = output_gate * jnp.tanh(c_t)
-    h_hw = h_t.reshape(H, W, C)
-    c_hw = c_t.reshape(H, W, C)
+    h_hw = h_t if dense else h_t.reshape(H, W, C)
+    c_hw = c_t if dense else c_t.reshape(H, W, C)
     h_s[...] = h_hw
     c_s[...] = c_hw
     hseq_ref[0, 0] = h_hw.astype(jnp.bfloat16)
@@ -107,13 +116,13 @@ def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "dim_head", "part", "eps", "ds_eps",
-                     "interpret"))
+                     "dense", "interpret"))
 def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
                      params_grid: Tuple[Array, ...], lstm_w: Array,
                      lstm_b: Array, h0: Array, c0: Array, *, heads: int,
                      dim_head: int, part: Tuple[int, int], eps: float,
                      ds_ln_params: Tuple[Array, ...] = (),
-                     ds_eps: float = 1e-5,
+                     ds_eps: float = 1e-5, dense: bool = False,
                      interpret: bool = False
                      ) -> Tuple[Array, Array, Array]:
     """Scan one backbone stage over a whole [T, B, H, W, C] bf16 window.
@@ -122,33 +131,61 @@ def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
     must already be downsampled; when ``ds_ln_params`` = (scale, bias)
     the downsample's LayerNorm runs inside the kernel (feed the raw conv
     output), otherwise the input must already be normed.
+
+    ``dense`` selects the masked-dense attention path for geometries
+    whose partition reshapes Mosaic rejects (caller decides via
+    ``fused_attention.stage_fusion_mode``).
     """
     T, B, H, W, C = x_seq.shape
     blocks = ((True, True, _N_PARAMS_SFN), (False, False, _N_PARAMS))
     kernel = functools.partial(
         _stage_scan_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
         dh=dim_head, part=part, eps=eps, ds_ln=bool(ds_ln_params),
-        ds_eps=ds_eps)
-    # time-major [T, B, ...] blocks (batch-major was tried: the input
-    # transposes it avoids are cheaper than its strided block walks)
-    seq = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (t, b, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    img = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
+        ds_eps=ds_eps, dense=dense)
+    if dense:
+        from rvt_tpu.ops.fused_attention import partition_bias
+
+        Tk = H * W
+        x_in = x_seq.reshape(T, B, Tk, C)
+        h0_in, c0_in = h0.reshape(B, Tk, C), c0.reshape(B, Tk, C)
+        seq = pl.BlockSpec((1, 1, Tk, C), lambda b, t: (t, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        img = pl.BlockSpec((1, Tk, C), lambda b, t: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        seq_shape, img_shape = (T, B, Tk, C), (B, Tk, C)
+        scratch = (Tk, C)
+        extra = (partition_bias(H, W, part, True),
+                 partition_bias(H, W, part, False))
+    else:
+        x_in, h0_in, c0_in = x_seq, h0, c0
+        # time-major [T, B, ...] blocks (batch-major was tried: the input
+        # transposes it avoids are cheaper than its strided block walks)
+        seq = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (t, b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        img = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        seq_shape, img_shape = (T, B, H, W, C), (B, H, W, C)
+        scratch = (H, W, C)
+        extra = ()
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_p = len(ds_ln_params) + len(params_window) + len(params_grid)
-    return pl.pallas_call(
+    n_p = (len(ds_ln_params) + len(params_window) + len(params_grid)
+           + len(extra))
+    h_seq, hT, cT = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[seq] + [full] * n_p + [full, full, img, img],
         out_specs=(seq, img, img),
-        out_shape=(jax.ShapeDtypeStruct((T, B, H, W, C), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((H, W, C), jnp.float32),
-                        pltpu.VMEM((H, W, C), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct(seq_shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(img_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(img_shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM(scratch, jnp.float32),
+                        pltpu.VMEM(scratch, jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(x_seq, *ds_ln_params, *params_window, *params_grid,
-      lstm_w, lstm_b, h0, c0)
+    )(x_in, *ds_ln_params, *params_window, *params_grid, *extra,
+      lstm_w, lstm_b, h0_in, c0_in)
+    if dense:
+        return (h_seq.reshape(T, B, H, W, C), hT.reshape(B, H, W, C),
+                cT.reshape(B, H, W, C))
+    return h_seq, hT, cT

@@ -1,0 +1,688 @@
+"""Fused backbone-stage kernels for TRAINING: custom-VJP Pallas forward
+and backward passes.
+
+Round-2 measurement: serving got 2x from the fused stage kernels while
+the train step stayed at ~175 ms — the same f32 LSTM/LN elementwise chain
+that dominated eval dominates the train step (docs/PERF.md), because the
+serving kernels define no VJP. This module closes that: one Pallas kernel
+per backbone stage per timestep for the forward, and ONE Pallas kernel
+for the whole backward (attention pair + ConvLSTM cell), with every
+intermediate VMEM-resident.
+
+Design (TPU-first, flash-attention-style):
+  * ``fused_stage_train`` is a ``jax.custom_vjp`` per-timestep stage step.
+    The residuals are just the step INPUTS (x_t, h_{t-1}, c_{t-1},
+    params) — no activation stash. The backward kernel recomputes the
+    forward chain in VMEM (block-at-a-time, classic 2-level checkpoint)
+    and backprops through MLP -> attention -> LayerNorms -> ConvLSTM.
+  * The temporal loop stays a ``lax.scan`` outside: its transpose chains
+    the (dh, dc) carries and accumulates the per-step parameter
+    cotangents — exactly the BPTT structure, with XLA doing only cheap
+    param-sized adds.
+  * Weight gradients accumulate across the batch grid inside the kernel
+    (outputs with constant index maps, init at b == 0 — the TPU grid is
+    sequential).
+  * LayerScale gammas stay UNFOLDED (separate f32 params) unlike the
+    serving layout (``attention_block_params`` folds them into proj/fc2):
+    they are trainable and need their own gradients.
+  * Numerics mirror the XLA module path: bf16 MXU matmuls with f32
+    accumulation, f32 LN stats / softmax / LayerScale / cell-state math.
+    Gradient parity vs the XLA path is tested at bf16-noise tolerance
+    (tests/test_fused_train.py).
+
+Reference semantics: ``models/layers/maxvit/maxvit.py:185-270`` (block
+pair), ``models/layers/rnn.py:36-68`` (cell), trained by the Lightning
+loop at ``modules/detection.py:131-158``.
+
+Known limits (gated, falls back to the XLA path): per-image working set
+<= 512k elements (gen4 stage 1 trains on XLA), single-device jit only
+(Pallas calls do not auto-partition over a mesh).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rvt_tpu.ops.fused_attention import (_DOT, dense_attention_ok,
+                                         partition_bias,
+                                         partition_geometry_ok)
+
+Array = jax.Array
+
+# params per sub-block (train layout, LayerScale NOT folded):
+# [ln1_s, ln1_b] (absent when skip_first_norm), qkv_w, qkv_b, proj_w,
+# proj_b, ls1_g, ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b, ls2_g.
+_N_TRAIN = 14
+_N_TRAIN_SFN = 12
+
+_RSQRT = jax.lax.rsqrt
+_C0 = 0.7978845608028654  # sqrt(2/pi)
+_C1 = 0.044715
+
+
+def train_block_params(p: dict, skip_first_norm: bool) -> Tuple[Array, ...]:
+    """Flatten one PartitionAttention param subtree for the train kernels:
+    weights/LN affine pre-cast to bf16 (as the XLA modules would),
+    LayerScale gammas kept separate in f32."""
+    bf = lambda a: jnp.asarray(a, jnp.bfloat16).reshape(1, -1)
+    bfw = lambda a: jnp.asarray(a, jnp.bfloat16)
+    f32 = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)
+    attn = p["self_attn"]
+    out = []
+    if not skip_first_norm:
+        out += [bf(p["norm1"]["scale"]), bf(p["norm1"]["bias"])]
+    out += [bfw(attn["qkv"]["kernel"]), bf(attn["qkv"]["bias"]),
+            bfw(attn["proj"]["kernel"]), bf(attn["proj"]["bias"]),
+            f32(p["ls1"]["gamma"]),
+            bf(p["norm2"]["scale"]), bf(p["norm2"]["bias"]),
+            bfw(p["mlp"]["fc1"]["kernel"]), bf(p["mlp"]["fc1"]["bias"]),
+            bfw(p["mlp"]["fc2"]["kernel"]), bf(p["mlp"]["fc2"]["bias"]),
+            f32(p["ls2"]["gamma"])]
+    return tuple(out)
+
+
+def _ln_fwd(x_f32, s_bf16, b_bf16, eps):
+    """LayerNorm forward; returns (y_bf16, xhat_f32, rstd_f32)."""
+    mu = jnp.mean(x_f32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True) - mu * mu, 0.0)
+    rstd = _RSQRT(var + eps)
+    xhat = (x_f32 - mu) * rstd
+    y = xhat * s_bf16.astype(jnp.float32) + b_bf16.astype(jnp.float32)
+    return y.astype(jnp.bfloat16), xhat, rstd
+
+
+def _ln_bwd(dy_f32, xhat, rstd, s_bf16):
+    """LayerNorm backward. Returns (dx, ds [1, C], db [1, C])."""
+    ds = jnp.sum(dy_f32 * xhat, axis=0, keepdims=True)
+    db = jnp.sum(dy_f32, axis=0, keepdims=True)
+    dxhat = dy_f32 * s_bf16[...].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    return dx, ds, db
+
+
+def _gelu_fwd(h_bf16):
+    hf = h_bf16.astype(jnp.float32)
+    inner = _C0 * (hf + _C1 * hf * hf * hf)
+    t = jnp.tanh(inner)
+    g = 0.5 * hf * (1.0 + t)
+    return g.astype(jnp.bfloat16), (hf, t)
+
+def _gelu_bwd(dg_f32, saved):
+    hf, t = saved
+    dinner = 0.5 * hf * (1.0 - t * t) * _C0 * (1.0 + 3.0 * _C1 * hf * hf)
+    return dg_f32 * (0.5 * (1.0 + t) + dinner)
+
+
+def _dot(a, b):
+    """[M, K] @ [K, N] with f32 accumulation."""
+    return jax.lax.dot_general(a, b,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               **_DOT)
+
+
+def _dot_t(a, b):
+    """a^T @ b: contract the row dims -> [K_a, K_b] (weight grads)."""
+    return jax.lax.dot_general(a, b,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               **_DOT)
+
+
+def _dot_rt(a, b):
+    """a @ b^T: contract the col dims -> [M_a, M_b]."""
+    return jax.lax.dot_general(a, b,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               **_DOT)
+
+
+def _partition(xa, *, window_mode, H, W, C, part):
+    ph, pw = part
+    nh, nw = H // ph, W // pw
+    if window_mode:
+        p = xa.reshape(nh, ph, nw, pw, C).transpose(0, 2, 1, 3, 4)
+    else:
+        p = xa.reshape(ph, nh, pw, nw, C).transpose(1, 3, 0, 2, 4)
+    return p.reshape(nh * nw * ph * pw, C)
+
+
+def _unpartition(tok, *, window_mode, H, W, C, part):
+    ph, pw = part
+    nh, nw = H // ph, W // pw
+    out = tok.reshape(nh, nw, ph, pw, C)
+    if window_mode:
+        out = out.transpose(0, 2, 1, 3, 4)
+    else:
+        out = out.transpose(2, 0, 3, 1, 4)
+    return out.reshape(H, W, C)
+
+
+def _attn_heads_fwd(qkv, *, heads, dh, dense, bias, n_parts, n_tokens):
+    """Per-head attention; qkv [T, 3C] (dense) or [nP, N, 3C]. Returns
+    (attn_out bf16, probs list)."""
+    scale = dh ** -0.5
+    head_outs, probs_saved = [], []
+    for h_i in range(heads):
+        base = h_i * 3 * dh
+        if dense:
+            q = qkv[:, base:base + dh]
+            k = qkv[:, base + dh:base + 2 * dh]
+            v = qkv[:, base + 2 * dh:base + 3 * dh]
+            st = _dot_rt(k, q) * scale + bias[...].astype(jnp.float32)
+            pt = jax.nn.softmax(st, axis=0).astype(jnp.bfloat16)
+            o = _dot_t(pt, v)
+        else:
+            q = qkv[:, :, base:base + dh]
+            k = qkv[:, :, base + dh:base + 2 * dh]
+            v = qkv[:, :, base + 2 * dh:base + 3 * dh]
+            st = jax.lax.dot_general(
+                k, q, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                **_DOT) * scale
+            pt = jax.nn.softmax(st, axis=1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                pt, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                **_DOT)
+        head_outs.append(o.astype(jnp.bfloat16))
+        probs_saved.append(pt)
+    return jnp.concatenate(head_outs, axis=-1), probs_saved
+
+
+def _attn_heads_bwd(dattn, qkv, probs_saved, *, heads, dh, dense):
+    """Backward of _attn_heads_fwd. dattn: [T, C] f32 (dense) or
+    [nP, N, C]. Returns dqkv (bf16, same shape as qkv)."""
+    scale = dh ** -0.5
+    dqkv_cols = []
+    for h_i in range(heads):
+        base = h_i * 3 * dh
+        pt = probs_saved[h_i]
+        if dense:
+            q = qkv[:, base:base + dh]
+            k = qkv[:, base + dh:base + 2 * dh]
+            v = qkv[:, base + 2 * dh:base + 3 * dh]
+            do = dattn[:, h_i * dh:(h_i + 1) * dh].astype(jnp.bfloat16)
+            # o = pt^T-contract-k @ v  (pt [Tk, Tq], o [Tq, dh])
+            dv = _dot(pt, do)                         # [Tk, dh]
+            dpt = _dot_rt(v, do)                      # [Tk, Tq]
+            ptf = pt.astype(jnp.float32)
+            ssum = jnp.sum(dpt * ptf, axis=0, keepdims=True)
+            dst = ptf * (dpt - ssum)
+            dsc = (dst * scale).astype(jnp.bfloat16)  # [Tk, Tq]
+            dk = _dot(dsc, q)                         # [Tk, dh]
+            dq = _dot_t(dsc, k)                       # [Tq, dh]
+        else:
+            q = qkv[:, :, base:base + dh]
+            k = qkv[:, :, base + dh:base + 2 * dh]
+            v = qkv[:, :, base + 2 * dh:base + 3 * dh]
+            do = dattn[:, :, h_i * dh:(h_i + 1) * dh].astype(jnp.bfloat16)
+            dv = jax.lax.dot_general(
+                pt, do, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                **_DOT)  # contract Tq: [nP, Tk, dh]... see note below
+            # pt [nP, Nk, Nq], do [nP, Nq, dh] -> dv [nP, Nk, dh]
+            dpt = jax.lax.dot_general(
+                v, do, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                **_DOT)  # [nP, Nk, Nq]
+            ptf = pt.astype(jnp.float32)
+            ssum = jnp.sum(dpt * ptf, axis=1, keepdims=True)
+            dst = ptf * (dpt - ssum)
+            dsc = (dst * scale).astype(jnp.bfloat16)
+            dk = jax.lax.dot_general(
+                dsc, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                **_DOT)  # [nP, Nk, dh]
+            dq = jax.lax.dot_general(
+                dsc, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                **_DOT)  # [nP, Nq, dh]
+        dqkv_cols += [dq.astype(jnp.bfloat16), dk.astype(jnp.bfloat16),
+                      dv.astype(jnp.bfloat16)]
+    return jnp.concatenate(dqkv_cols, axis=-1)
+
+
+def _block_fwd(R, prm, *, window_mode, skip_first_norm, x_in_bf16, H, W,
+               C, heads, dh, part, eps, bias, store):
+    """One sub-block forward (train layout: LS unfolded). Returns
+    (R_out, saved) — saved is None unless ``store``."""
+    dense = bias is not None
+    i = 0
+    ln1 = None
+    if skip_first_norm:
+        xa = x_in_bf16
+    else:
+        xa, xhat1, rstd1 = _ln_fwd(R, prm[0][...], prm[1][...], eps)
+        ln1 = (xhat1, rstd1)
+        i = 2
+    (qkv_w, qkv_b, proj_w, proj_b, ls1_g, ln2_s, ln2_b,
+     fc1_w, fc1_b, fc2_w, fc2_b, ls2_g) = prm[i:i + 12]
+
+    tokens = xa if dense else _partition(xa, window_mode=window_mode,
+                                         H=H, W=W, C=C, part=part)
+    qkv = _dot(tokens, qkv_w[...]).astype(jnp.bfloat16) + qkv_b[...]
+    n_parts = (H // part[0]) * (W // part[1])
+    n_tokens = part[0] * part[1]
+    if not dense:
+        qkv = qkv.reshape(n_parts, n_tokens, 3 * C)
+    attn, probs = _attn_heads_fwd(qkv, heads=heads, dh=dh, dense=dense,
+                                  bias=bias, n_parts=n_parts,
+                                  n_tokens=n_tokens)
+    if not dense:
+        attn = attn.reshape(n_parts * n_tokens, C)
+    proj = _dot(attn, proj_w[...]).astype(jnp.bfloat16) + proj_b[...]
+    unpart = proj if dense else _unpartition(
+        proj.reshape(n_parts, n_tokens, C).reshape(n_parts * n_tokens, C),
+        window_mode=window_mode, H=H, W=W, C=C, part=part)
+    ls1 = unpart.astype(jnp.float32) * ls1_g[...]
+    R_mid = R + (ls1.reshape(R.shape) if not dense else ls1)
+
+    T = H * W
+    R2 = R_mid.reshape(T, C)
+    y, xhat2, rstd2 = _ln_fwd(R2, ln2_s[...], ln2_b[...], eps)
+    h1 = _dot(y, fc1_w[...]).astype(jnp.bfloat16) + fc1_b[...]
+    g, gelu_sv = _gelu_fwd(h1)
+    m = _dot(g, fc2_w[...]).astype(jnp.bfloat16) + fc2_b[...]
+    ls2 = m.astype(jnp.float32) * ls2_g[...]
+    R_out = R_mid + ls2.reshape(R_mid.shape)
+    if not store:
+        return R_out, None
+    saved = dict(R_in=R, xa=xa, ln1=ln1, qkv=qkv, probs=probs, attn=attn,
+                 unpart=unpart, R_mid=R_mid, xhat2=xhat2, rstd2=rstd2,
+                 y=y, h1=h1, gelu_sv=gelu_sv, g=g, m=m)
+    return R_out, saved
+
+
+def _block_bwd(dR_out, saved, prm, *, window_mode, skip_first_norm, H, W,
+               C, heads, dh, part, eps, bias):
+    """One sub-block backward. Returns (dR_in, dxa_or_None, grads list in
+    param order). For skip_first_norm blocks the input-norm cotangent is
+    returned separately as dxa (flows into x_in alongside dR_in)."""
+    dense = bias is not None
+    i = 0 if skip_first_norm else 2
+    (qkv_w, qkv_b, proj_w, proj_b, ls1_g, ln2_s, ln2_b,
+     fc1_w, fc1_b, fc2_w, fc2_b, ls2_g) = prm[i:i + 12]
+    T = H * W
+    n_parts = (H // part[0]) * (W // part[1])
+    n_tokens = part[0] * part[1]
+
+    # ---- MLP half: R_out = R_mid + (m * ls2).reshape ----
+    dR_out2 = dR_out.reshape(T, C)
+    m_f32 = saved["m"].astype(jnp.float32)
+    dls2_g = jnp.sum(m_f32 * dR_out2, axis=0, keepdims=True)
+    dm = dR_out2 * ls2_g[...]
+    dm_bf = dm.astype(jnp.bfloat16)
+    dfc2_w = _dot_t(saved["g"], dm_bf)
+    dfc2_b = jnp.sum(dm, axis=0, keepdims=True)
+    dg = _dot_rt(dm_bf, fc2_w[...])
+    dh1 = _gelu_bwd(dg, saved["gelu_sv"])
+    dh1_bf = dh1.astype(jnp.bfloat16)
+    dfc1_w = _dot_t(saved["y"], dh1_bf)
+    dfc1_b = jnp.sum(dh1, axis=0, keepdims=True)
+    dy = _dot_rt(dh1_bf, fc1_w[...])
+    dxln2, dln2_s, dln2_b = _ln_bwd(dy, saved["xhat2"], saved["rstd2"],
+                                    ln2_s)
+    dR_mid = dR_out + dxln2.reshape(dR_out.shape)
+
+    # ---- attention half: R_mid = R_in + (unpart * ls1) ----
+    dR_mid_flat = dR_mid.reshape(T, C) if not dense else dR_mid
+    up_f32 = saved["unpart"].astype(jnp.float32)
+    if not dense:
+        up_f32 = up_f32.reshape(T, C)
+    dls1_g = jnp.sum(up_f32 * dR_mid_flat, axis=0, keepdims=True)
+    dunpart = dR_mid_flat * ls1_g[...]
+    if dense:
+        dproj_out = dunpart
+    else:
+        dproj_out = _partition(dunpart.reshape(H, W, C),
+                               window_mode=window_mode, H=H, W=W, C=C,
+                               part=part)
+    dproj_bf = dproj_out.astype(jnp.bfloat16)
+    dproj_w = _dot_t(saved["attn"], dproj_bf)
+    dproj_b = jnp.sum(dproj_out, axis=0, keepdims=True)
+    dattn = _dot_rt(dproj_bf, proj_w[...])
+    if not dense:
+        dattn = dattn.reshape(n_parts, n_tokens, C)
+    dqkv = _attn_heads_bwd(dattn, saved["qkv"], saved["probs"],
+                           heads=heads, dh=dh, dense=dense)
+    if not dense:
+        dqkv = dqkv.reshape(n_parts * n_tokens, 3 * C)
+    tokens = saved["xa"] if dense else _partition(
+        saved["xa"], window_mode=window_mode, H=H, W=W, C=C, part=part)
+    dqkv_w = _dot_t(tokens, dqkv)
+    dqkv_b = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    dtokens = _dot_rt(dqkv, qkv_w[...])
+    dxa = dtokens if dense else _unpartition(
+        dtokens.astype(jnp.float32), window_mode=window_mode, H=H, W=W,
+        C=C, part=part)
+    dxa = dxa.astype(jnp.float32)
+
+    grads = [dqkv_w, dqkv_b, dproj_w, dproj_b, dls1_g, dln2_s, dln2_b,
+             dfc1_w, dfc1_b, dfc2_w, dfc2_b, dls2_g]
+    if skip_first_norm:
+        return dR_mid, dxa, grads
+    xhat1, rstd1 = saved["ln1"]
+    dxln1, dln1_s, dln1_b = _ln_bwd(
+        dxa.reshape(T, C), xhat1.reshape(T, C) if not dense else xhat1,
+        rstd1.reshape(T, 1) if not dense else rstd1, prm[0])
+    dR_in = dR_mid + dxln1.reshape(dR_mid.shape)
+    return dR_in, None, [dln1_s, dln1_b] + grads
+
+
+# ---------------------------------------------------------------------------
+# Whole-stage step kernels (forward + backward)
+# ---------------------------------------------------------------------------
+
+
+def _lstm_recompute(R_out, h_in, c_in, lstm_w, lstm_b, T, C):
+    """Recompute the cell exactly as the serving kernel does. Returns all
+    values the backward needs."""
+    xb = R_out.astype(jnp.bfloat16).reshape(T, C)
+    hb = h_in.astype(jnp.bfloat16).reshape(T, C)
+    xh = jnp.concatenate([xb, hb], axis=-1)
+    mix = _dot(xh, lstm_w[...]).astype(jnp.bfloat16) + lstm_b[...]
+    gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16)
+    f_g = gates[:, :C].astype(jnp.float32)
+    i_g = gates[:, C:2 * C].astype(jnp.float32)
+    o_g = gates[:, 2 * C:].astype(jnp.float32)
+    g_c = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
+                   ).astype(jnp.bfloat16).astype(jnp.float32)
+    c_prev = c_in.astype(jnp.float32).reshape(T, C)
+    c_t = f_g * c_prev + i_g * g_c
+    h_t = o_g * jnp.tanh(c_t)
+    return xh, f_g, i_g, o_g, g_c, c_prev, c_t, h_t
+
+
+def _stage_step_fwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
+                           dense):
+    """refs: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
+    lstm_w, lstm_b, h_in, c_in -> h_out, c_out."""
+    x_ref = refs[0]
+    ds_s, ds_b = refs[1], refs[2]
+    lstm_w, lstm_b, h_ref, c_ref = refs[-6:-2]
+    ho_ref, co_ref = refs[-2:]
+    if dense:
+        bias_w, bias_g = refs[-8:-6]
+        prms = refs[3:-8]
+    else:
+        bias_w = bias_g = None
+        prms = refs[3:-6]
+    win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
+
+    xf = x_ref[0].astype(jnp.float32)
+    x_bf16, _, _ = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    R = x_bf16.astype(jnp.float32)
+    R1, _ = _block_fwd(R, win, window_mode=True, skip_first_norm=True,
+                       x_in_bf16=x_bf16, H=H, W=W, C=C, heads=heads,
+                       dh=dh, part=part, eps=eps, bias=bias_w, store=False)
+    R2, _ = _block_fwd(R1, grid, window_mode=False, skip_first_norm=False,
+                       x_in_bf16=None, H=H, W=W, C=C, heads=heads, dh=dh,
+                       part=part, eps=eps, bias=bias_g, store=False)
+    T = H * W
+    _, _, _, _, _, _, c_t, h_t = _lstm_recompute(
+        R2, h_ref[0], c_ref[0], lstm_w, lstm_b, T, C)
+    shape = (T, C) if dense else (H, W, C)
+    ho_ref[0] = h_t.reshape(shape)
+    co_ref[0] = c_t.reshape(shape)
+
+
+def _acc(ref, b, val):
+    """Accumulate a weight-grad output across the sequential batch grid."""
+    @pl.when(b == 0)
+    def _init():
+        ref[...] = val.astype(ref.dtype)
+
+    @pl.when(b > 0)
+    def _add():
+        ref[...] += val.astype(ref.dtype)
+
+
+def _stage_step_bwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
+                           dense):
+    """refs in: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
+    lstm_w, lstm_b, h_in, c_in, dh_t, dc_t
+    refs out: dx, dds_s, dds_b, *dwin(12), *dgrid(14), dlstm_w, dlstm_b,
+    dh_in, dc_in (all f32; caller casts to the primal dtypes).
+
+    Recomputes the forward chain in VMEM (window block twice — classic
+    two-level checkpoint keeps only one block's intermediates live) and
+    backprops LSTM -> grid block -> window block -> downsample LN."""
+    b = pl.program_id(0)
+    n_extra = 2 if dense else 0
+    n_in = 3 + _N_TRAIN_SFN + _N_TRAIN + n_extra + 6
+    in_refs, out_refs = refs[:n_in], refs[n_in:]
+    x_ref, ds_s, ds_b = in_refs[0], in_refs[1], in_refs[2]
+    prms = in_refs[3:3 + _N_TRAIN_SFN + _N_TRAIN]
+    win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
+    if dense:
+        bias_w, bias_g = in_refs[-8:-6]
+    else:
+        bias_w = bias_g = None
+    lstm_w, lstm_b, h_ref, c_ref, dht_ref, dct_ref = in_refs[-6:]
+
+    dx_ref, dds_s_ref, dds_b_ref = out_refs[0], out_refs[1], out_refs[2]
+    dprm_refs = out_refs[3:3 + _N_TRAIN_SFN + _N_TRAIN]
+    dlw_ref, dlb_ref, dhin_ref, dcin_ref = out_refs[-4:]
+
+    T = H * W
+    # ---- forward recompute ----
+    xf = x_ref[0].astype(jnp.float32)
+    x_bf16, xhat0, rstd0 = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    R0 = x_bf16.astype(jnp.float32)
+    R1, _ = _block_fwd(R0, win, window_mode=True, skip_first_norm=True,
+                       x_in_bf16=x_bf16, H=H, W=W, C=C, heads=heads,
+                       dh=dh, part=part, eps=eps, bias=bias_w, store=False)
+    R2, saved_g = _block_fwd(R1, grid, window_mode=False,
+                             skip_first_norm=False, x_in_bf16=None, H=H,
+                             W=W, C=C, heads=heads, dh=dh, part=part,
+                             eps=eps, bias=bias_g, store=True)
+    xh, f_g, i_g, o_g, g_c, c_prev, c_t, h_t = _lstm_recompute(
+        R2, h_ref[0], c_ref[0], lstm_w, lstm_b, T, C)
+
+    # ---- LSTM backward ----
+    dhf = dht_ref[0].astype(jnp.float32).reshape(T, C)
+    dcf = dct_ref[0].astype(jnp.float32).reshape(T, C)
+    tc = jnp.tanh(c_t)
+    do_g = dhf * tc
+    dct = dcf + dhf * o_g * (1.0 - tc * tc)
+    df_g = dct * c_prev
+    di_g = dct * g_c
+    dg_c = dct * i_g
+    dc_in = dct * f_g
+    dmix = jnp.concatenate(
+        [df_g * f_g * (1.0 - f_g), di_g * i_g * (1.0 - i_g),
+         do_g * o_g * (1.0 - o_g), dg_c * (1.0 - g_c * g_c)], axis=-1)
+    dmix_bf = dmix.astype(jnp.bfloat16)
+    _acc(dlw_ref, b, _dot_t(xh, dmix_bf))
+    _acc(dlb_ref, b, jnp.sum(dmix, axis=0, keepdims=True))
+    dxh = _dot_rt(dmix_bf, lstm_w[...])
+    shape = (T, C) if dense else (H, W, C)
+    dhin_ref[0] = dxh[:, C:2 * C].astype(jnp.float32).reshape(shape)
+    dcin_ref[0] = dc_in.reshape(shape)
+    dR2 = dxh[:, :C].astype(jnp.float32).reshape(R2.shape)
+
+    # ---- grid block backward ----
+    dR1, _, grads_g = _block_bwd(dR2, saved_g, grid, window_mode=False,
+                                 skip_first_norm=False, H=H, W=W, C=C,
+                                 heads=heads, dh=dh, part=part, eps=eps,
+                                 bias=bias_g)
+    del saved_g
+    for ref, val in zip(dprm_refs[_N_TRAIN_SFN:], grads_g):
+        _acc(ref, b, val)
+
+    # ---- window block backward (recompute with stored intermediates) ----
+    _, saved_w = _block_fwd(R0, win, window_mode=True,
+                            skip_first_norm=True, x_in_bf16=x_bf16, H=H,
+                            W=W, C=C, heads=heads, dh=dh, part=part,
+                            eps=eps, bias=bias_w, store=True)
+    dR0, dxa, grads_w = _block_bwd(dR1, saved_w, win, window_mode=True,
+                                   skip_first_norm=True, H=H, W=W, C=C,
+                                   heads=heads, dh=dh, part=part, eps=eps,
+                                   bias=bias_w)
+    for ref, val in zip(dprm_refs[:_N_TRAIN_SFN], grads_w):
+        _acc(ref, b, val)
+
+    # x_bf16 feeds both the residual stream (R0) and the sfn attention
+    dxbf = dR0 + dxa.reshape(dR0.shape)
+    dxf, dds_s, dds_b = _ln_bwd(
+        dxbf.reshape(T, C), xhat0.reshape(T, C),
+        rstd0.reshape(T, 1), ds_s)
+    _acc(dds_s_ref, b, dds_s)
+    _acc(dds_b_ref, b, dds_b)
+    dx_ref[0] = dxf.astype(jnp.bfloat16).reshape(x_ref.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_stage_step_train(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b,
+                           h, c):
+    """One backbone-stage timestep (downsample LN + attention pair +
+    ConvLSTM cell) as a fused Pallas kernel WITH a fused Pallas VJP.
+
+    cfg: hashable (heads, dim_head, part, eps, ds_eps, dense, interpret).
+    x: [B, H, W, C] bf16 raw downsample-conv output; win/grid: train-layout
+    param tuples (``train_block_params``); h, c: f32 carries.
+    Returns (h_t, c_t) f32."""
+    return _stage_fwd_call(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b,
+                           h, c)
+
+
+def _stage_fwd_call(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c):
+    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    B, H, W, C = x.shape
+    kernel = functools.partial(
+        _stage_step_fwd_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+    if dense:
+        T = H * W
+        x_in = x.reshape(B, T, C)
+        h_in, c_in = h.reshape(B, T, C), c.reshape(B, T, C)
+        img = pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        oshape = (B, T, C)
+        extra = (partition_bias(H, W, part, True),
+                 partition_bias(H, W, part, False))
+    else:
+        x_in, h_in, c_in = x, h, c
+        img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        oshape = (B, H, W, C)
+        extra = ()
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_p = 2 + len(win) + len(grid) + len(extra)
+    h_t, c_t = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[img] + [full] * n_p + [full, full, img, img],
+        out_specs=(img, img),
+        out_shape=(jax.ShapeDtypeStruct(oshape, jnp.float32),
+                   jax.ShapeDtypeStruct(oshape, jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *grid, *extra, lstm_w, lstm_b, h_in, c_in)
+    if dense:
+        return h_t.reshape(B, H, W, C), c_t.reshape(B, H, W, C)
+    return h_t, c_t
+
+
+def _stage_fwd(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c):
+    out = _stage_fwd_call(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b,
+                          h, c)
+    return out, (x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c)
+
+
+def _stage_bwd(cfg, res, cot):
+    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c = res
+    dh_t, dc_t = cot
+    B, H, W, C = x.shape
+    kernel = functools.partial(
+        _stage_step_bwd_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+    if dense:
+        T = H * W
+        x_in = x.reshape(B, T, C)
+        h_in, c_in = h.reshape(B, T, C), c.reshape(B, T, C)
+        dh_in = dh_t.reshape(B, T, C)
+        dc_in = dc_t.reshape(B, T, C)
+        img = pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        oshape = (B, T, C)
+        extra = (partition_bias(H, W, part, True),
+                 partition_bias(H, W, part, False))
+    else:
+        x_in, h_in, c_in, dh_in, dc_in = x, h, c, dh_t, dc_t
+        img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        oshape = (B, H, W, C)
+        extra = ()
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_p = 2 + len(win) + len(grid) + len(extra)
+
+    params = (ds_s, ds_b) + win + grid
+    grad_shapes = tuple(
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params)
+    out_shape = (
+        (jax.ShapeDtypeStruct(x_in.shape, jnp.bfloat16),)   # dx
+        + grad_shapes                                        # dds, dprm
+        + (jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
+           jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
+           jax.ShapeDtypeStruct(oshape, jnp.float32),        # dh_in
+           jax.ShapeDtypeStruct(oshape, jnp.float32)))       # dc_in
+    out_specs = ((img,) + tuple(full for _ in grad_shapes)
+                 + (full, full, img, img))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[img] + [full] * n_p + [full, full, img, img, img, img],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *grid, *extra, lstm_w, lstm_b, h_in, c_in,
+      dh_in, dc_in)
+
+    dx = outs[0]
+    dparams = outs[1:1 + len(params)]
+    dlw, dlb, dh0, dc0 = outs[-4:]
+    if dense:
+        dx = dx.reshape(B, H, W, C)
+        dh0 = dh0.reshape(B, H, W, C)
+        dc0 = dc0.reshape(B, H, W, C)
+    cast = lambda g, p: g.astype(p.dtype)
+    dds_s, dds_b = cast(dparams[0], ds_s), cast(dparams[1], ds_b)
+    dwin = tuple(cast(g, p) for g, p in zip(dparams[2:2 + len(win)], win))
+    dgrid = tuple(cast(g, p) for g, p in zip(dparams[2 + len(win):], grid))
+    return (dx.astype(x.dtype), dds_s, dds_b, dwin, dgrid,
+            cast(dlw, lstm_w), cast(dlb, lstm_b), dh0, dc0)
+
+
+fused_stage_step_train.defvjp(_stage_fwd, _stage_bwd)
+
+
+def train_stage_mode(H: int, W: int, C: int,
+                     part: Tuple[int, int]) -> str | None:
+    """'part' | 'dense' | None for the train kernels. The backward kernel
+    holds one block's stored intermediates + f32 weight-grad accumulators;
+    the envelope mirrors the serving stage-scan bound (gen4 stage 1 at
+    983k elements/image exceeds it and trains on the XLA path)."""
+    per_image = H * W * C
+    # f32 weight-grad accumulators: 2 blocks (qkv + proj + fc1 + fc2) +
+    # the LSTM matmul
+    grad_bytes = 4 * (2 * (3 * C * C + C * C + 8 * C * C) + 8 * C * C)
+    act_bytes = 30 * per_image
+    if grad_bytes + act_bytes > 56 * 2 ** 20 or per_image > 512 * 1024:
+        return None
+    if partition_geometry_ok(H, W, part):
+        return "part"
+    if dense_attention_ok(H, W):
+        return "dense"
+    return None
+

@@ -21,6 +21,8 @@ GEOMS = [
     (16, 20, 48, 24, (8, 10), True),    # small-model head dim
     (12, 20, 64, 32, (6, 10), False),   # gen4 partition
     (8, 10, 512, 32, (8, 10), True),    # stage-4 dims: two-kernel split
+    (16, 24, 64, 32, (2, 3), True),     # masked-dense (Mosaic rejects
+    (16, 24, 64, 32, (2, 3), False),    # the (8, 3) W-dim lane split)
 ]
 
 
@@ -73,6 +75,27 @@ def test_fused_falls_back_when_oversized():
     XLA path (bit-identical to fused=False)."""
     H, W, C = 192, 160, 64
     cfg = AttentionConfig(partition_size=(6, 10), dim_head=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, H, W, C), jnp.bfloat16)
+    mod_ref = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                                  dtype=jnp.bfloat16, fused=False)
+    variables = mod_ref.init(jax.random.PRNGKey(1), x)
+    mod_fused = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                                    dtype=jnp.bfloat16, fused=True)
+    ref = np.asarray(mod_ref.apply(variables, x))
+    got = np.asarray(mod_fused.apply(variables, x))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_falls_back_nonstandard_geometry():
+    """A geometry whose partition chunks Mosaic cannot lane-split AND
+    whose token count exceeds the masked-dense envelope must silently
+    take the XLA path (bit-identical to fused=False) instead of raising
+    a Mosaic compile error."""
+    from rvt_tpu.ops.fused_attention import pair_fusion_mode
+
+    H, W, C, part = 40, 48, 64, (2, 3)
+    assert pair_fusion_mode(H, W, C, part) is None
+    cfg = AttentionConfig(partition_size=part, dim_head=32)
     x = jnp.asarray(np.random.RandomState(0).randn(1, H, W, C), jnp.bfloat16)
     mod_ref = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
                                   dtype=jnp.bfloat16, fused=False)

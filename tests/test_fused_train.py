@@ -1,0 +1,160 @@
+"""Gradient parity of the fused TRAIN kernels (ops/fused_train.py,
+custom-VJP Pallas stage steps) against the XLA module path.
+
+Geometries cover both kernel modes:
+  * partitioned reshapes: (16, 10) maps with partition (8, 10)
+  * masked-dense: tiny maps whose partition chunks Mosaic cannot
+    lane-split (partition (2, 3))
+Interpret mode on CPU; the lowered kernels are verified on the real chip
+by tools/verify_tpu_kernels.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rvt_tpu.config import AttentionConfig, DownsampleConfig, LstmConfig
+
+
+def _stage_params(rng, C, key):
+    """Init a stage param subtree via the XLA modules so both paths share
+    weights."""
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
+
+    pair = MaxVitAttentionPair(dim=C, cfg=AttentionConfig(
+        partition_size=rng["part"], dim_head=rng["dh"]),
+        skip_first_norm=True, dtype=jnp.bfloat16, fused=False)
+    cell = DWSConvLSTM2d(dim=C, cfg=LstmConfig(dws_conv=False),
+                         dtype=jnp.bfloat16, fused=False)
+    x = jnp.zeros((1, rng["H"], rng["W"], C), jnp.bfloat16)
+    h = jnp.zeros((1, rng["H"], rng["W"], C), jnp.float32)
+    pv = pair.init(jax.random.PRNGKey(key), x)
+    cv = cell.init(jax.random.PRNGKey(key + 1), x, (h, h))
+    return pair, cell, pv, cv
+
+
+@pytest.mark.parametrize("H,W,C,part,dh", [
+    (16, 10, 32, (8, 10), 32),   # partitioned mode
+    (16, 24, 32, (2, 3), 32),    # masked-dense mode
+])
+def test_stage_step_grads_match_xla(H, W, C, part, dh):
+    from rvt_tpu.ops.fused_train import (fused_stage_step_train,
+                                         train_block_params,
+                                         train_stage_mode)
+
+    mode = train_stage_mode(H, W, C, part)
+    assert mode == ("part" if part == (8, 10) else "dense")
+
+    geo = dict(H=H, W=W, part=part, dh=dh)
+    pair, cell, pv, cv = _stage_params(geo, C, key=0)
+    rng = np.random.RandomState(0)
+    B = 2
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+    ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+    eps = 1e-5
+
+    def xla_path(x, ds_s, ds_b, pv, cv, h0, c0):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+              * ds_s.astype(jnp.float32)
+              + ds_b.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = pair.apply(pv, xn, False)
+        return cell.apply(cv, y, (h0, c0), False)
+
+    def fused_path(x, ds_s, ds_b, pv, cv, h0, c0):
+        win = train_block_params(pv["params"]["att_window"], True)
+        grd = train_block_params(pv["params"]["att_grid"], False)
+        lp = cv["params"]["conv1x1"]
+        lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+        lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+        cfg = (C // dh, dh, part, eps, eps, mode == "dense", True)
+        return fused_stage_step_train(cfg, x, ds_s, ds_b, win, grd, lw,
+                                      lb, h0, c0)
+
+    # forward parity first
+    (h_x, c_x) = xla_path(x, ds_s, ds_b, pv, cv, h0, c0)
+    (h_f, c_f) = fused_path(x, ds_s, ds_b, pv, cv, h0, c0)
+    scale = float(jnp.max(jnp.abs(h_x)))
+    assert float(jnp.max(jnp.abs(h_f - h_x))) < 2e-2 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(c_f - c_x))) < 4e-2
+
+    # gradient parity: scalar loss mixing both outputs
+    wgt_h = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    wgt_c = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+
+    def loss(fn, *args):
+        h, c = fn(*args)
+        return jnp.sum(h * wgt_h) + 0.5 * jnp.sum(jnp.tanh(c) * wgt_c)
+
+    args = (x, ds_s, ds_b, pv, cv, h0, c0)
+    g_x = jax.grad(lambda *a: loss(xla_path, *a), argnums=(0, 3, 4, 5, 6))(*args)
+    g_f = jax.grad(lambda *a: loss(fused_path, *a), argnums=(0, 3, 4, 5, 6))(*args)
+
+    flat_x, tree_x = jax.tree_util.tree_flatten(g_x)
+    flat_f, tree_f = jax.tree_util.tree_flatten(g_f)
+    assert tree_x == tree_f
+    names = [str(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(g_x)[0]]
+    for name, a, b in zip(names, flat_x, flat_f):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = max(np.abs(a).max(), 1e-3)
+        err = np.abs(a - b).max() / s
+        assert err < 6e-2, (name, err, s)
+
+
+def test_fused_train_scan_backbone_matches_xla():
+    """End-to-end: loss gradients of the full backbone scan (4 stages,
+    downsample convs + fused train steps) vs the plain XLA remat path."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector, zero_states
+    from rvt_tpu.models.detector import scan_backbone
+
+    T, B = 3, 2
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    cfg = replace(cfg, model=replace(cfg.model, compute_dtype="bfloat16"))
+    model_ref, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                         batch_size=B)
+    cfg_f = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, fused_kernels=True)))
+    model_fused = RVTDetector(cfg=cfg_f.model)
+    H, W = cfg.model.backbone.in_res_hw
+    rng = np.random.RandomState(0)
+    ev = jnp.asarray(rng.randint(0, 8, (T, B, H, W, 20)), jnp.float32)
+    states = zero_states(cfg.model.backbone, B)
+    wgts = None
+
+    def loss(params, model):
+        feats, (st) = scan_backbone(
+            model, {"params": params}, ev, states, deterministic=False,
+            remat=True)
+        total = 0.0
+        nonlocal wgts
+        if wgts is None:
+            wgts = [jnp.asarray(np.random.RandomState(7).randn(*f.shape),
+                                jnp.float32) for f in feats]
+        for f, w in zip(feats, wgts):
+            total = total + jnp.sum(f.astype(jnp.float32) * w)
+        return total / ev.size
+
+    params = variables["params"]
+    g_x = jax.grad(lambda p: loss(p, model_ref))(params)
+    g_f = jax.grad(lambda p: loss(p, model_fused))(params)
+    leaves_x = jax.tree_util.tree_flatten_with_path(g_x)[0]
+    leaves_f = jax.tree_util.tree_flatten(g_f)[0]
+    for (path, a), b in zip(leaves_x, leaves_f):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = max(np.abs(a).max(), 1e-4)
+        err = np.abs(a - b).max() / s
+        assert err < 8e-2, ("/".join(str(q) for q in path), err, s)

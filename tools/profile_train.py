@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--fused", action="store_true",
+                    help="custom-VJP Pallas train kernels (ops/fused_train)")
     args = ap.parse_args()
 
     from rvt_tpu.config import preset
@@ -42,7 +44,11 @@ def main():
     cfg = preset(args.dataset, args.size)
     cfg = replace(cfg, training=replace(cfg.training, precision=args.precision))
     compute = "bfloat16" if args.precision in ("bf16", "bfloat16") else "float32"
-    model = RVTDetector(cfg=replace(cfg.model, compute_dtype=compute))
+    mcfg = replace(cfg.model, compute_dtype=compute)
+    if args.fused:
+        mcfg = replace(mcfg, backbone=replace(mcfg.backbone,
+                                              fused_kernels=True))
+    model = RVTDetector(cfg=mcfg)
     optimizer = make_optimizer(cfg.training)
     state = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
     train_step = make_train_step(model, cfg, optimizer, donate=False)

@@ -1,11 +1,22 @@
 """Verify + time the Pallas TPU kernels on the real chip (lowered, not
-interpret mode). Run on hardware:  python -m tools.verify_tpu_kernels
+interpret mode). Run on hardware:
+
+    python -m tools.verify_tpu_kernels [check ...]
+
+with checks from {voxelizer, lstm, attention, stage_scan, train, all}
+(default: all). Each check compiles independently, so a single-kernel
+regression run costs one remote compile, not the whole ~30-minute
+suite.
 
 Checks, against their XLA oracles:
-  * stacked_histogram_pallas_batched — bit-exact equality on gen1-geometry
-    uniform and worst-case clustered event sets, plus a wall-clock
-    comparison vs the XLA scatter path,
-  * fused backbone kernels (when present) via the precision test suite.
+  * voxelizer — stacked_histogram_pallas_batched, bit-exact equality on
+    gen1-geometry uniform and worst-case clustered event sets, plus a
+    wall-clock comparison vs the XLA scatter path,
+  * lstm / attention / stage_scan — the fused serving kernels (incl. the
+    masked-dense small-geometry path that Mosaic's partition reshapes
+    reject, e.g. the tiny 64x80 config),
+  * train — the custom-VJP training kernels (ops/fused_train.py):
+    gradient parity vs the XLA path, lowered.
 """
 from __future__ import annotations
 
@@ -29,14 +40,13 @@ def timeit(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1000
 
 
-def main() -> int:
+def _verify_voxelizer() -> int:
     import jax
     import jax.numpy as jnp
 
     from rvt_tpu.ops.voxelization import (stacked_histogram,
                                           stacked_histogram_pallas_batched)
 
-    print("devices:", jax.devices())
     B, N, bins, H, W = 8, 32768, 10, 240, 304
     rng = np.random.RandomState(0)
     cases = {}
@@ -70,10 +80,28 @@ def main() -> int:
     t_pal = timeit(pallas_fn, xj, yj, pj, tj, cj)
     print(f"voxelizer 8x32k gen1: XLA scatter {t_xla:.2f} ms, "
           f"Pallas {t_pal:.2f} ms ({t_xla / t_pal:.2f}x)")
+    return failures
 
-    failures += _verify_fused_lstm()
-    failures += _verify_fused_attention()
-    failures += _verify_stage_scan()
+
+_CHECKS = {
+    "voxelizer": _verify_voxelizer,
+    "lstm": lambda: _verify_fused_lstm(),
+    "attention": lambda: _verify_fused_attention(),
+    "stage_scan": lambda: _verify_stage_scan(),
+    "train": lambda: _verify_fused_train(),
+}
+
+
+def main(argv=None) -> int:
+    import jax
+
+    print("devices:", jax.devices())
+    names = list(argv or sys.argv[1:]) or ["all"]
+    if "all" in names:
+        names = list(_CHECKS)
+    failures = 0
+    for name in names:
+        failures += _CHECKS[name]()
     return failures
 
 
@@ -187,6 +215,85 @@ def _verify_fused_attention() -> int:
             ts[f] = timeit(ap, x)
         print(f"  XLA {ts[False]:.2f} ms, Pallas {ts[True]:.2f} ms "
               f"({ts[False] / ts[True]:.2f}x)")
+    return failures
+
+
+def _verify_fused_train() -> int:
+    """Lowered custom-VJP train kernels: gradient parity vs the XLA
+    module path at one partitioned and one masked-dense geometry, plus a
+    step-time comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvt_tpu.config import AttentionConfig, LstmConfig
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
+    from rvt_tpu.ops.fused_train import (fused_stage_step_train,
+                                         train_block_params,
+                                         train_stage_mode)
+
+    failures = 0
+    for H, W, C, part, dh in [(64, 80, 32, (8, 10), 32),
+                              (16, 24, 32, (2, 3), 32)]:
+        mode = train_stage_mode(H, W, C, part)
+        assert mode is not None, (H, W, part)
+        pair = MaxVitAttentionPair(dim=C, cfg=AttentionConfig(
+            partition_size=part, dim_head=dh), skip_first_norm=True,
+            dtype=jnp.bfloat16, fused=False)
+        cell = DWSConvLSTM2d(dim=C, cfg=LstmConfig(dws_conv=False),
+                             dtype=jnp.bfloat16, fused=False)
+        rng = np.random.RandomState(0)
+        B = 2
+        x0 = jnp.zeros((1, H, W, C), jnp.bfloat16)
+        hz = jnp.zeros((1, H, W, C), jnp.float32)
+        pv = pair.init(jax.random.PRNGKey(0), x0)
+        cv = cell.init(jax.random.PRNGKey(1), x0, (hz, hz))
+        x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+        h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+        c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+        ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+        ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+        wgt = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+        eps = 1e-5
+
+        def xla_loss(pv, cv, x=x, h0=h0, c0=c0, ds_s=ds_s, ds_b=ds_b,
+                     wgt=wgt, pair=pair, cell=cell):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+            xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+                  * ds_s.astype(jnp.float32)
+                  + ds_b.astype(jnp.float32)).astype(jnp.bfloat16)
+            h_t, _ = cell.apply(cv, pair.apply(pv, xn, False), (h0, c0),
+                                False)
+            return jnp.sum(h_t * wgt)
+
+        def fused_loss(pv, cv, x=x, h0=h0, c0=c0, ds_s=ds_s, ds_b=ds_b,
+                       wgt=wgt, C=C, dh=dh, part=part, mode=mode):
+            win = train_block_params(pv["params"]["att_window"], True)
+            grd = train_block_params(pv["params"]["att_grid"], False)
+            lp = cv["params"]["conv1x1"]
+            lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C,
+                                                                 4 * C)
+            lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+            cfg = (C // dh, dh, part, eps, eps, mode == "dense", False)
+            h_t, _ = fused_stage_step_train(cfg, x, ds_s, ds_b, win, grd,
+                                            lw, lb, h0, c0)
+            return jnp.sum(h_t * wgt)
+
+        g_x = jax.jit(jax.grad(xla_loss, argnums=(0, 1)))(pv, cv)
+        g_f = jax.jit(jax.grad(fused_loss, argnums=(0, 1)))(pv, cv)
+        worst = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            worst = max(worst, np.abs(a - b).max()
+                        / max(np.abs(a).max(), 1e-3))
+        ok = worst < 6e-2
+        failures += not ok
+        print(f"fused_train/{H}x{W}x{C} [{mode}]: "
+              f"{'OK' if ok else 'MISMATCH'} (worst rel err={worst:.2e})")
     return failures
 
 
