@@ -138,9 +138,12 @@ class PostprocessConfig:
     # maximum number of detections kept per frame must be fixed.
     max_detections: int = 300
     # Max candidates entering NMS after the confidence filter (top-k by
-    # score). The greedy NMS scan is sequential in this length; 512 is ~5x
-    # the realistic post-threshold candidate count on gen1/gen4 scenes.
-    pre_nms_topk: int = 512
+    # score). <= 0 (default) NMS-es every anchor — exactly the reference
+    # semantics (boxes.py:56-68), no truncation risk on dense scenes.
+    # A positive value (e.g. 512, ~5x the realistic post-threshold count
+    # on gen1/gen4) is an opt-in latency knob for serving; it is exact
+    # only while fewer than k boxes pass the confidence threshold.
+    pre_nms_topk: int = 0
 
 
 @dataclass(frozen=True)

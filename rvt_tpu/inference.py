@@ -5,9 +5,10 @@ on the host with numba/torch, scripts/genx/preprocess_dataset.py), this
 pipeline runs everything inside one jit region per frame batch:
 
   raw events (padded [B, N] x/y/p/t + counts)
-    -> stacked histogram (Pallas sort+one-hot-matmul voxelizer, 1.8 ms
-       per 8x32k-event batch on v5e — 2.1x the XLA scatter fallback,
-       which remains the default off-TPU; see docs/PERF.md)
+    -> stacked histogram (on TPU, by default, the Pallas sort+one-hot-
+       matmul voxelizer: 1.8 ms per 8x32k-event batch on v5e, ~2x the
+       XLA scatter path; other backends default to the XLA scatter.
+       See docs/PERF.md)
     -> optional 2x nearest downsample (gen4)
     -> pad to model resolution
     -> recurrent detector step
@@ -41,7 +42,7 @@ def nearest_downsample2(x: Array) -> Array:
 
 
 def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
-                            use_pallas_voxelizer: bool = False,
+                            use_pallas_voxelizer: Optional[bool] = None,
                             interpret: bool = False):
     """Build a jitted step: (variables, states, events, counts,
     is_first_sample) -> (states, detections, det_valid).
@@ -49,7 +50,12 @@ def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
     events: dict of x/y/p/t int32 [B, N] (t sorted per lane, zero padded);
     counts: [B] int32 valid-event counts. One event-repr frame per lane per
     call, recurrent states carried.
+
+    ``use_pallas_voxelizer=None`` picks per backend: the Pallas kernel on
+    TPU (~2x the XLA scatter, docs/PERF.md), the XLA scatter elsewhere.
     """
+    if use_pallas_voxelizer is None:
+        use_pallas_voxelizer = jax.default_backend() not in ("cpu", "gpu")
     bins = 10  # stacked_histogram_dt=50_nbins=10 (dataset presets)
     sH, sW = cfg.dataset.resolution_hw
     ds2 = cfg.dataset.downsample_by_factor_2

@@ -107,6 +107,13 @@ def postprocess(prediction: Array, num_classes: int, conf_thre: float = 0.7,
     prediction: [B, A, 5+C] — decoded cxcywh boxes, obj prob, class probs
     (i.e. the inference output of the head after sigmoid).
 
+    ``pre_nms_topk <= 0`` (the default config) means *all* anchors enter
+    NMS — exactly the reference semantics, which NMS-es every box above
+    the confidence threshold (``boxes.py:56-68``). A positive value is an
+    opt-in speed knob: only the top-k boxes by score are considered, which
+    is exact whenever fewer than k boxes pass the confidence threshold
+    and may clip true positives in dense scenes otherwise.
+
     Returns (detections [B, max_detections, 7], valid [B, max_detections]):
     detections ordered (x1, y1, x2, y2, obj_conf, class_conf, class_id) —
     the same layout as the reference postprocess (boxes.py:50-51).
@@ -120,7 +127,8 @@ def postprocess(prediction: Array, num_classes: int, conf_thre: float = 0.7,
         score = obj * class_conf
         valid = score >= conf_thre
 
-        k = min(pre_nms_topk, score.shape[0])
+        k = (score.shape[0] if pre_nms_topk <= 0
+             else min(pre_nms_topk, score.shape[0]))
         top_score, top_idx = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), k)
         top_valid = jnp.isfinite(top_score)
         top_boxes = boxes[top_idx]

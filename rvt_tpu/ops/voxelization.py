@@ -124,13 +124,14 @@ def mixed_density_stack(x: Array, y: Array, pol: Array, t: Array,
 # 4 ms the XLA scatter path needs.
 
 
-def _hist_tile_kernel(off_ref, r_ref, x_ref, out_ref, r_s, x_s, sem_r, sem_x,
-                      *, events_chunk: int, rows_per_tile: int, n_padded: int):
+def _hist_tile_kernel(off_ref, r_ref, x_ref, out_ref, acc, r_s, x_s, sem_r,
+                      sem_x, *, events_chunk: int, rows_per_tile: int,
+                      n_padded: int, count_cutoff: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = off_ref[b, t]
     end = off_ref[b, t + 1]
-    out_ref[...] = jnp.zeros_like(out_ref)
+    acc[...] = jnp.zeros_like(acc)
 
     E = events_chunk
     ER = E // 128
@@ -164,13 +165,18 @@ def _hist_tile_kernel(off_ref, r_ref, x_ref, out_ref, r_s, x_s, sem_r, sem_x,
         # precision=DEFAULT overrides the global f32 matmul-precision pin
         # (rvt_tpu/__init__.py) — Mosaic rejects bf16 operands under a
         # fp32 contract-precision request; 0/1 one-hots are exact in bf16.
-        out_ref[0] += jax.lax.dot_general(
+        acc[...] += jax.lax.dot_general(
             R, CT, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
         return 0
 
     jax.lax.fori_loop(0, nch, body, 0)
+    # saturate + narrow in-kernel: the uint8 tile store is 4x less HBM
+    # write traffic than the old f32 output (and drops the XLA min/cast
+    # epilogue pass over the padded histogram)
+    out_ref[0] = jnp.minimum(acc[...], float(count_cutoff)
+                             ).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("bins", "height", "width",
@@ -185,8 +191,9 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
     ``stacked_histogram`` for in-range coordinates; out-of-range events are
     dropped rather than row-aliased). Inputs are [B, N] int32, t sorted;
     ``num_events`` [B] counts the valid leading events. Lowers on real TPU
-    (sort + one-hot-matmul formulation, see module notes) — measured ~3x
-    faster than the XLA scatter path for 8x32k gen1 events on a v5e."""
+    (sort + one-hot-matmul formulation, see module notes) — measured ~2x
+    faster than the XLA scatter path for 8x32k gen1 events on a v5e
+    (1.8 ms vs 3.8 ms, docs/PERF.md)."""
     B, N = x.shape
     E = max(128, min(chunk, 4096) // 128 * 128)  # events per inner step
     npad = max(E, (N + 127) // 128 * 128)
@@ -209,8 +216,11 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
     r_sorted, x_sorted = jax.lax.sort((r, x.astype(jnp.int32)), num_keys=1)
 
     bounds = (jnp.arange(ntiles + 1, dtype=jnp.int32) * TR)
-    off = jnp.sum(r_sorted[:, None, :] < bounds[None, :, None],
-                  axis=-1).astype(jnp.int32)  # [B, ntiles+1]
+    # tile offsets by binary search (O(ntiles log N); the dense
+    # [B, ntiles+1, N] comparison this replaces was ~240M elements at
+    # gen4 scale: 1 Mpx -> 113 row tiles x 256k events)
+    off = jax.vmap(lambda rs: jnp.searchsorted(rs, bounds, side="left")
+                   )(r_sorted).astype(jnp.int32)  # [B, ntiles+1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -219,6 +229,7 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, TR, wp), lambda b, t_, off: (b, t_, 0)),
         scratch_shapes=[
+            pltpu.VMEM((TR, wp), jnp.float32),
             pltpu.VMEM((E // 128, 128), jnp.int32),
             pltpu.VMEM((E // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -226,17 +237,17 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
         ],
     )
     kernel = functools.partial(_hist_tile_kernel, events_chunk=E,
-                               rows_per_tile=TR, n_padded=npad)
+                               rows_per_tile=TR, n_padded=npad,
+                               count_cutoff=count_cutoff)
     hist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, ntiles * TR, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TR, wp), jnp.uint8),
         interpret=interpret,
     )(off, r_sorted.reshape(B, npad // 128, 128),
       x_sorted.reshape(B, npad // 128, 128))
 
     hist = hist[:, :rows_total, :width]
-    hist = jnp.minimum(hist, count_cutoff).astype(jnp.uint8)
     return hist.reshape(B, 2 * bins, height, width)
 
 

@@ -102,10 +102,13 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
         # gather_labeled_frames silently drops labelled frames beyond K;
         # in eval that would leave GT frames without predictions and skew
         # the protocol metric — fail loudly instead.
-        n_lab = batch.frame_valid.sum(axis=1).max()
-        assert n_lab <= K, (
-            f"window has {n_lab} labelled frames > max_labeled_frames={K}; "
-            "raise DatasetConfig.max_labeled_frames")
+        # ValueError (not assert): this guard must survive `python -O` —
+        # silently dropping GT frames would skew the protocol metric.
+        n_lab = int(batch.frame_valid.sum(axis=1).max())
+        if n_lab > K:
+            raise ValueError(
+                f"window has {n_lab} labelled frames > max_labeled_frames="
+                f"{K}; raise DatasetConfig.max_labeled_frames")
         ev = batch.ev_repr
         if stem_s2d:
             ev = host_space_to_depth(ev, cfg.model.backbone.in_res_hw)

@@ -126,10 +126,20 @@ class Trainer:
         elif _transform is not None:
             batches = map(_transform, batches)
 
+        K = cfg.dataset.max_labeled_frames
         for batch in batches:
             step_idx = self._host_step
             if step_idx >= self.tcfg.max_steps:
                 break
+            # gather_labeled_frames drops labelled frames beyond K; in
+            # training that silently reduces supervision, so a label-
+            # cadence/config mismatch fails loudly here instead.
+            n_lab = int(batch.frame_valid.sum(axis=1).max())
+            if n_lab > K:
+                raise ValueError(
+                    f"training window has {n_lab} labelled frames > "
+                    f"max_labeled_frames={K}; raise "
+                    "DatasetConfig.max_labeled_frames")
             if self._lstm_states is None:
                 self._lstm_states = shard_states(
                     self.mesh, zero_states(cfg.model.backbone, batch.batch_size))
@@ -161,7 +171,8 @@ class Trainer:
             # orbax save on shared storage would collide; all processes
             # compute the identical val metric after the buffer merge, so
             # the retention decision is consistent anyway)
-            is_main = jax.process_index() == 0
+            from rvt_tpu.parallel.multihost import is_main_process
+            is_main = is_main_process()
             if (step_idx + 1) % self.tcfg.ckpt_every_n_steps == 0 and is_main:
                 self.ckpt.save(jax.device_get(self.state), step_idx + 1)
 

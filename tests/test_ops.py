@@ -83,6 +83,30 @@ def test_postprocess_matches_numpy_oracle(seed):
     np.testing.assert_allclose(dets[:n, 6], class_id[kept])
 
 
+def test_postprocess_dense_scene_all_anchors():
+    """pre_nms_topk<=0 NMS-es every above-threshold box (reference
+    semantics). A dense scene with more candidates than a small top-k
+    would keep: the truncating knob clips real detections, the default
+    (all anchors) keeps them all."""
+    rng = np.random.RandomState(3)
+    A, C = 96, 2
+    # 96 well-separated high-confidence boxes: nothing suppresses anything
+    gx, gy = np.meshgrid(np.arange(12), np.arange(8))
+    centers = np.stack([40.0 * gx.ravel() + 20, 40.0 * gy.ravel() + 20], 1)
+    wh = np.full((A, 2), 12.0)
+    obj = rng.uniform(0.8, 1.0, size=A)
+    cls = rng.uniform(0.8, 1.0, size=(A, C))
+    preds = jnp.asarray(np.concatenate(
+        [centers, wh, obj[:, None], cls], axis=1).astype(np.float32)[None])
+
+    dets_all, valid_all = postprocess(preds, C, conf_thre=0.1, nms_thre=0.45,
+                                      pre_nms_topk=0, max_detections=128)
+    dets_k, valid_k = postprocess(preds, C, conf_thre=0.1, nms_thre=0.45,
+                                  pre_nms_topk=32, max_detections=128)
+    assert int(valid_all.sum()) == A  # nothing clipped
+    assert int(valid_k.sum()) == 32  # the truncating knob clips 64 boxes
+
+
 def test_box_conversions_roundtrip():
     rng = np.random.RandomState(0)
     b = rng.uniform(0, 100, size=(16, 4)).astype(np.float32)
@@ -219,6 +243,47 @@ def test_stacked_histogram_pallas_multitile_clustered():
     got = np.asarray(stacked_histogram_pallas_batched(
         *args, bins=bins, height=H, width=W, chunk=1024, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_voxelizer_drops_out_of_range():
+    """Pins the documented contract divergence on unsanitized input: the
+    Pallas path DROPS out-of-range x/y/pol events, while the XLA scatter
+    oracle row-aliases x overflow (x + width*y wraps into the next row).
+    The Pallas output must equal the oracle run on the sanitized subset."""
+    from rvt_tpu.ops.voxelization import (stacked_histogram,
+                                          stacked_histogram_pallas_batched)
+
+    rng = np.random.RandomState(11)
+    H, W, bins, N = 16, 24, 4, 512
+    n = 300
+    x = rng.randint(0, W, (1, N)).astype(np.int32)
+    y = rng.randint(0, H, (1, N)).astype(np.int32)
+    p = rng.randint(0, 2, (1, N)).astype(np.int32)
+    t = np.sort(rng.randint(0, 50000, (1, N)), axis=1).astype(np.int32)
+    # inject out-of-range coordinates among the valid prefix
+    bad = rng.choice(n, 40, replace=False)
+    x[0, bad[:10]] = W + rng.randint(0, 5, 10)
+    x[0, bad[10:15]] = -1
+    y[0, bad[15:25]] = H + rng.randint(0, 3, 10)
+    y[0, bad[25:30]] = -2
+    p[0, bad[30:]] = 2
+
+    args = tuple(jnp.asarray(a) for a in (x, y, p, t,
+                                          np.asarray([n], np.int32)))
+    got = np.asarray(stacked_histogram_pallas_batched(
+        *args, bins=bins, height=H, width=W, chunk=512, interpret=True))[0]
+
+    # oracle on the sanitized subset, same time-bin normalisation as the
+    # full stream (bins are computed before dropping)
+    ok = ((x[0, :n] >= 0) & (x[0, :n] < W) & (y[0, :n] >= 0)
+          & (y[0, :n] < H) & (p[0, :n] >= 0) & (p[0, :n] <= 1))
+    from rvt_tpu.ops.voxelization import _time_bin_indices
+    t_idx = np.asarray(_time_bin_indices(jnp.asarray(t[0]),
+                                         jnp.asarray(n), bins))[:n]
+    ref = np.zeros((2 * bins, H, W), np.int64)
+    for i in np.flatnonzero(ok):
+        ref[p[0, i] * bins + t_idx[i], y[0, i], x[0, i]] += 1
+    np.testing.assert_array_equal(got, np.minimum(ref, 255).astype(np.uint8))
 
 
 def test_raw_inference_pipeline():
