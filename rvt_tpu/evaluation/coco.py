@@ -56,32 +56,14 @@ def iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _evaluate_img(dt_boxes: np.ndarray, dt_scores: np.ndarray,
-                  gt_boxes: np.ndarray, area_rng: Tuple[float, float],
-                  max_dets: int):
-    """Match one (image, category) pair across all IoU thresholds.
-
-    Returns (dt_matched [T, D], dt_ignored [T, D], dt_scores [D], num_gt)
-    where num_gt counts non-ignored GTs.
+def _match_img(ious: np.ndarray, gt_ignore: np.ndarray,
+               dt_out_of_range: np.ndarray):
+    """Greedy per-image matching across all IoU thresholds. ``ious`` must
+    already have its GT columns sorted non-ignored-first (stable), like
+    pycocotools' gtind sort. Returns (dt_matched [T, D], dt_ignored [T, D]).
     """
-    order = np.argsort(-dt_scores, kind="mergesort")[:max_dets]
-    dt_boxes = dt_boxes[order]
-    dt_scores = dt_scores[order]
-
-    gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gt_boxes) else np.zeros(0)
-    gt_ignore = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-    # non-ignored GTs first (stable), like pycocotools gtind sort
-    gt_order = np.argsort(gt_ignore, kind="mergesort")
-    gt_boxes = gt_boxes[gt_order]
-    gt_ignore = gt_ignore[gt_order]
-
-    ious = iou_xywh(dt_boxes, gt_boxes)
     D, G = ious.shape
     T = len(IOU_THRS)
-
-    dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if D else np.zeros(0)
-    dt_out_of_range = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
-    num_gt = int((~gt_ignore).sum())
 
     # fast path: native greedy matcher (C++ equivalent of detectron2's
     # COCOeval_opt; see native/rvt_native.cpp)
@@ -90,8 +72,7 @@ def _evaluate_img(dt_boxes: np.ndarray, dt_scores: np.ndarray,
     native = native_lib.coco_match_image(ious, gt_ignore, IOU_THRS,
                                          dt_out_of_range) if D else None
     if native is not None:
-        matched, ignored = native
-        return matched, ignored, dt_scores, num_gt
+        return native
 
     dt_m = np.full((T, D), -1, np.int64)
     gt_m = np.full((T, G), -1, np.int64)
@@ -121,7 +102,7 @@ def _evaluate_img(dt_boxes: np.ndarray, dt_scores: np.ndarray,
         matched_ignored[matched] = gt_ignore[dt_m[ti, matched]]
         dt_ig[ti] = np.where(matched, matched_ignored,
                              dt_out_of_range)
-    return dt_m >= 0, dt_ig, dt_scores, num_gt
+    return dt_m >= 0, dt_ig
 
 
 def evaluate_coco_map(gts: Sequence[np.ndarray], dts: Sequence[np.ndarray],
@@ -136,58 +117,77 @@ def evaluate_coco_map(gts: Sequence[np.ndarray], dts: Sequence[np.ndarray],
     num_imgs = len(gts)
     T = len(IOU_THRS)
     R = len(REC_THRS)
-    results: Dict[str, float] = {}
+    area_items = list(AREA_RANGES.items())
+    A = len(area_items)
+    # ap[a, t, c]; NaN marks "category absent / no GT" (excluded from means)
+    ap = np.full((A, T, num_classes), np.nan)
 
-    # cache per-(area, cat) accumulations
-    for area_name, area_rng in AREA_RANGES.items():
-        ap_t = np.full((T, num_classes), np.nan)
-        for c in range(num_classes):
-            all_scores: List[np.ndarray] = []
-            all_matched: List[np.ndarray] = []
-            all_ignored: List[np.ndarray] = []
-            total_gt = 0
-            has_gt_any = False
-            for i in range(num_imgs):
-                gt = gts[i]
-                dt = dts[i]
-                gt_c = gt[gt[:, 4] == c][:, :4] if len(gt) else np.zeros((0, 4))
-                if len(gt[gt[:, 4] == c]) if len(gt) else 0:
-                    has_gt_any = True
-                dt_rows = dt[dt[:, 4] == c] if len(dt) else np.zeros((0, 6))
-                m, ig, scores, ngt = _evaluate_img(
-                    dt_rows[:, :4], dt_rows[:, 5] if dt_rows.shape[1] > 5
-                    else np.zeros(len(dt_rows)), gt_c, area_rng, MAX_DETS)
-                all_scores.append(scores)
-                all_matched.append(m)
-                all_ignored.append(ig)
-                total_gt += ngt
-            if not has_gt_any:
-                continue  # category absent entirely -> NaN (excluded)
-            if total_gt == 0:
+    for c in range(num_classes):
+        # One pass over images per category: detections are score-sorted
+        # and the IoU matrix computed ONCE, shared by all four area ranges
+        # (pycocotools does the same; the old per-area recompute was 4x
+        # the work and dominated at test-set scale).
+        has_gt_any = False
+        total_gt = np.zeros(A, np.int64)
+        all_scores: List[np.ndarray] = []
+        all_matched: List[List[np.ndarray]] = [[] for _ in range(A)]
+        all_ignored: List[List[np.ndarray]] = [[] for _ in range(A)]
+        for i in range(num_imgs):
+            gt = gts[i]
+            dt = dts[i]
+            gt_c = gt[gt[:, 4] == c][:, :4] if len(gt) else np.zeros((0, 4))
+            if len(gt_c):
+                has_gt_any = True
+            dt_rows = dt[dt[:, 4] == c] if len(dt) else np.zeros((0, 6))
+            dt_scores = (dt_rows[:, 5] if dt_rows.shape[1] > 5
+                         else np.zeros(len(dt_rows)))
+            order = np.argsort(-dt_scores, kind="mergesort")[:MAX_DETS]
+            dt_boxes = dt_rows[order, :4]
+            all_scores.append(dt_scores[order])
+            D, G = len(dt_boxes), len(gt_c)
+            gt_area = gt_c[:, 2] * gt_c[:, 3] if G else np.zeros(0)
+            dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if D else np.zeros(0)
+            ious = iou_xywh(dt_boxes, gt_c)
+            for a, (_, rng) in enumerate(area_items):
+                gt_ignore = (gt_area < rng[0]) | (gt_area > rng[1])
+                total_gt[a] += int((~gt_ignore).sum())
+                dt_oor = (dt_area < rng[0]) | (dt_area > rng[1])
+                # non-ignored GTs first (stable), like pycocotools gtind
+                gt_order = np.argsort(gt_ignore, kind="mergesort")
+                m, ig = _match_img(ious[:, gt_order], gt_ignore[gt_order],
+                                   dt_oor)
+                all_matched[a].append(m)
+                all_ignored[a].append(ig)
+        if not has_gt_any:
+            continue  # category absent entirely -> NaN (excluded)
+        scores = np.concatenate(all_scores)
+        order = np.argsort(-scores, kind="mergesort")
+        for a in range(A):
+            if total_gt[a] == 0:
                 continue
-            scores = np.concatenate(all_scores)
-            order = np.argsort(-scores, kind="mergesort")
-            matched = np.concatenate(all_matched, axis=1)[:, order]
-            ignored = np.concatenate(all_ignored, axis=1)[:, order]
+            matched = np.concatenate(all_matched[a], axis=1)[:, order]
+            ignored = np.concatenate(all_ignored[a], axis=1)[:, order]
             tps = matched & ~ignored
             fps = ~matched & ~ignored
             tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
             fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
+            N = tp_cum.shape[1]
+            if N == 0:
+                ap[a, :, c] = 0.0
+                continue
+            rc = tp_cum / total_gt[a]                       # [T, N]
+            pr = tp_cum / np.maximum(tp_cum + fp_cum, np.spacing(1))
+            # monotone precision envelope: reverse running max (the old
+            # per-detection python loop was O(T * N) interpreter work)
+            pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
             for ti in range(T):
-                tp, fp = tp_cum[ti], fp_cum[ti]
-                rc = tp / total_gt
-                pr = tp / np.maximum(tp + fp, np.spacing(1))
-                # monotone precision envelope
-                q = np.zeros(R)
-                pr = pr.tolist()
-                for k in range(len(pr) - 1, 0, -1):
-                    if pr[k] > pr[k - 1]:
-                        pr[k - 1] = pr[k]
-                inds = np.searchsorted(rc, REC_THRS, side="left")
-                for ri, pi in enumerate(inds):
-                    if pi < len(pr):
-                        q[ri] = pr[pi]
-                ap_t[ti, c] = q.mean()
+                inds = np.searchsorted(rc[ti], REC_THRS, side="left")
+                q = np.where(inds < N, pr[ti][np.minimum(inds, N - 1)], 0.0)
+                ap[a, ti, c] = q.mean()
+
+    results: Dict[str, float] = {}
+    for a, (area_name, _) in enumerate(area_items):
+        ap_t = ap[a]
         valid = ~np.isnan(ap_t)
         mean_ap = ap_t[valid].mean() if valid.any() else 0.0
         if area_name == "all":
