@@ -114,11 +114,18 @@ def postprocess(prediction: Array, num_classes: int, conf_thre: float = 0.7,
     is exact whenever fewer than k boxes pass the confidence threshold
     and may clip true positives in dense scenes otherwise.
 
+    The exact default still serves fast: a batch-level ``lax.cond``
+    dispatches to a top-512 candidate set whenever NO lane has more than
+    512 above-threshold boxes (the typical trained-detector case). That
+    branch is bitwise-identical to the all-anchor result — boxes that are
+    never kept can never suppress — while the overflow branch (dense
+    scenes) pays for the full [A, A] IoU matrix only when it must.
+
     Returns (detections [B, max_detections, 7], valid [B, max_detections]):
     detections ordered (x1, y1, x2, y2, obj_conf, class_conf, class_id) —
     the same layout as the reference postprocess (boxes.py:50-51).
     """
-    def per_image(pred: Array) -> Tuple[Array, Array]:
+    def per_image(pred: Array, k: int) -> Tuple[Array, Array]:
         boxes = cxcywh_to_xyxy(pred[:, :4])
         obj = pred[:, 4]
         cls_probs = pred[:, 5:5 + num_classes]
@@ -127,8 +134,6 @@ def postprocess(prediction: Array, num_classes: int, conf_thre: float = 0.7,
         score = obj * class_conf
         valid = score >= conf_thre
 
-        k = (score.shape[0] if pre_nms_topk <= 0
-             else min(pre_nms_topk, score.shape[0]))
         top_score, top_idx = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), k)
         top_valid = jnp.isfinite(top_score)
         top_boxes = boxes[top_idx]
@@ -161,4 +166,19 @@ def postprocess(prediction: Array, num_classes: int, conf_thre: float = 0.7,
             fin_valid = jnp.pad(fin_valid, (0, max_detections - m))
         return det, fin_valid
 
-    return jax.vmap(per_image)(prediction)
+    A = prediction.shape[1]
+    if pre_nms_topk > 0:
+        return jax.vmap(partial(per_image, k=min(pre_nms_topk, A)))(
+            prediction)
+
+    fast_k = min(512, A)
+    if fast_k == A:
+        return jax.vmap(partial(per_image, k=A))(prediction)
+    obj = prediction[..., 4]
+    class_conf = jnp.max(prediction[..., 5:5 + num_classes], axis=-1)
+    n_valid_max = jnp.max(jnp.sum(obj * class_conf >= conf_thre, axis=-1))
+    return jax.lax.cond(
+        n_valid_max > fast_k,
+        lambda p: jax.vmap(partial(per_image, k=A))(p),
+        lambda p: jax.vmap(partial(per_image, k=fast_k))(p),
+        prediction)

@@ -180,8 +180,11 @@ def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
                    jax.ShapeDtypeStruct(img_shape, jnp.float32)),
         scratch_shapes=[pltpu.VMEM(scratch, jnp.float32),
                         pltpu.VMEM(scratch, jnp.float32)],
+        # gen4-stage-1-class images (983k elements) need the larger cap:
+        # f32 qkv accumulators + carry scratch push the stack past 48 MB
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=(100 if H * W * C > 512 * 1024 else 48)
+            * 1024 * 1024),
         interpret=interpret,
     )(x_in, *ds_ln_params, *params_window, *params_grid, *extra,
       lstm_w, lstm_b, h0_in, c0_in)

@@ -142,6 +142,17 @@ def _dot_rt(a, b):
                                **_DOT)
 
 
+def _mlp_chunk_size(T: int, C: int) -> int:
+    """Row-chunk size bounding the [rows, 4C] MLP/LSTM intermediates
+    (same sizing rule as the serving kernel: 8 MB target, 4 MB for
+    gen4-class images whose other tensors already crowd the stack)."""
+    target = (4 if T * C > 512 * 1024 else 8) * 2 ** 20
+    chunk = T
+    while chunk * 4 * C * 4 > target and chunk % 2 == 0:
+        chunk //= 2
+    return chunk
+
+
 def _partition(xa, *, window_mode, H, W, C, part):
     ph, pw = part
     nh, nw = H // ph, W // pw
@@ -277,19 +288,25 @@ def _block_fwd(R, prm, *, window_mode, skip_first_norm, x_in_bf16, H, W,
     ls1 = unpart.astype(jnp.float32) * ls1_g[...]
     R_mid = R + (ls1.reshape(R.shape) if not dense else ls1)
 
+    # MLP forward in row chunks (the [rows, 4C] hidden tensors are the
+    # stack peak; the backward recomputes them chunk-wise from R_mid, so
+    # nothing MLP-sized is ever saved)
     T = H * W
     R2 = R_mid.reshape(T, C)
-    y, xhat2, rstd2 = _ln_fwd(R2, ln2_s[...], ln2_b[...], eps)
-    h1 = _dot(y, fc1_w[...]).astype(jnp.bfloat16) + fc1_b[...]
-    g, gelu_sv = _gelu_fwd(h1)
-    m = _dot(g, fc2_w[...]).astype(jnp.bfloat16) + fc2_b[...]
-    ls2 = m.astype(jnp.float32) * ls2_g[...]
+    chunk = _mlp_chunk_size(T, C)
+    outs = []
+    for s in range(0, T, chunk):
+        y, _, _ = _ln_fwd(R2[s:s + chunk], ln2_s[...], ln2_b[...], eps)
+        h1 = _dot(y, fc1_w[...]).astype(jnp.bfloat16) + fc1_b[...]
+        g, _ = _gelu_fwd(h1)
+        m = _dot(g, fc2_w[...]).astype(jnp.bfloat16) + fc2_b[...]
+        outs.append(m.astype(jnp.float32) * ls2_g[...])
+    ls2 = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     R_out = R_mid + ls2.reshape(R_mid.shape)
     if not store:
         return R_out, None
     saved = dict(R_in=R, xa=xa, ln1=ln1, qkv=qkv, probs=probs, attn=attn,
-                 unpart=unpart, R_mid=R_mid, xhat2=xhat2, rstd2=rstd2,
-                 y=y, h1=h1, gelu_sv=gelu_sv, g=g, m=m)
+                 unpart=unpart, R_mid=R_mid)
     return R_out, saved
 
 
@@ -307,21 +324,39 @@ def _block_bwd(dR_out, saved, prm, *, window_mode, skip_first_norm, H, W,
     n_tokens = part[0] * part[1]
 
     # ---- MLP half: R_out = R_mid + (m * ls2).reshape ----
+    # Row-chunked recompute-and-backprop: per chunk, rebuild (y, h1, g, m)
+    # from the saved R_mid and backprop through fc2 -> gelu -> fc1 -> LN,
+    # accumulating the weight grads. Nothing [T, 4C]-sized is ever live.
     dR_out2 = dR_out.reshape(T, C)
-    m_f32 = saved["m"].astype(jnp.float32)
-    dls2_g = jnp.sum(m_f32 * dR_out2, axis=0, keepdims=True)
-    dm = dR_out2 * ls2_g[...]
-    dm_bf = dm.astype(jnp.bfloat16)
-    dfc2_w = _dot_t(saved["g"], dm_bf)
-    dfc2_b = jnp.sum(dm, axis=0, keepdims=True)
-    dg = _dot_rt(dm_bf, fc2_w[...])
-    dh1 = _gelu_bwd(dg, saved["gelu_sv"])
-    dh1_bf = dh1.astype(jnp.bfloat16)
-    dfc1_w = _dot_t(saved["y"], dh1_bf)
-    dfc1_b = jnp.sum(dh1, axis=0, keepdims=True)
-    dy = _dot_rt(dh1_bf, fc1_w[...])
-    dxln2, dln2_s, dln2_b = _ln_bwd(dy, saved["xhat2"], saved["rstd2"],
-                                    ln2_s)
+    R2 = saved["R_mid"].reshape(T, C)
+    chunk = _mlp_chunk_size(T, C)
+    dls2_g = dfc2_w = dfc2_b = dfc1_w = dfc1_b = dln2_s = dln2_b = 0.0
+    dx_rows = []
+    for s in range(0, T, chunk):
+        Rc = R2[s:s + chunk]
+        dRc = dR_out2[s:s + chunk]
+        y, xhat, rstd = _ln_fwd(Rc, ln2_s[...], ln2_b[...], eps)
+        h1 = _dot(y, fc1_w[...]).astype(jnp.bfloat16) + fc1_b[...]
+        g, gelu_sv = _gelu_fwd(h1)
+        m = _dot(g, fc2_w[...]).astype(jnp.bfloat16) + fc2_b[...]
+        dls2_g = dls2_g + jnp.sum(m.astype(jnp.float32) * dRc, axis=0,
+                                  keepdims=True)
+        dm = dRc * ls2_g[...]
+        dm_bf = dm.astype(jnp.bfloat16)
+        dfc2_w = dfc2_w + _dot_t(g, dm_bf)
+        dfc2_b = dfc2_b + jnp.sum(dm, axis=0, keepdims=True)
+        dg = _dot_rt(dm_bf, fc2_w[...])
+        dh1 = _gelu_bwd(dg, gelu_sv)
+        dh1_bf = dh1.astype(jnp.bfloat16)
+        dfc1_w = dfc1_w + _dot_t(y, dh1_bf)
+        dfc1_b = dfc1_b + jnp.sum(dh1, axis=0, keepdims=True)
+        dy = _dot_rt(dh1_bf, fc1_w[...])
+        dxc, ds_c, db_c = _ln_bwd(dy, xhat, rstd, ln2_s)
+        dln2_s = dln2_s + ds_c
+        dln2_b = dln2_b + db_c
+        dx_rows.append(dxc)
+    dxln2 = (dx_rows[0] if len(dx_rows) == 1
+             else jnp.concatenate(dx_rows, axis=0))
     dR_mid = dR_out + dxln2.reshape(dR_out.shape)
 
     # ---- attention half: R_mid = R_in + (unpart * ls1) ----
@@ -438,16 +473,20 @@ def _acc(ref, b, val):
         ref[...] += val.astype(ref.dtype)
 
 
-def _stage_step_bwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
-                           dense):
-    """refs in: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
-    lstm_w, lstm_b, h_in, c_in, dh_t, dc_t
-    refs out: dx, dds_s, dds_b, *dwin(12), *dgrid(14), dlstm_w, dlstm_b,
-    dh_in, dc_in (all f32; caller casts to the primal dtypes).
+def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense):
+    """Backward kernel 1 of 3: recompute the forward chain (no stores)
+    and backprop the ConvLSTM cell. The three-kernel split exists because
+    Mosaic's scoped-VMEM stack reuse across a fwd-recompute + full
+    backward in ONE kernel is poor — the single-kernel variant needed
+    ~106 MB stack at RVT-T gen1 stage-1 geometry (64x80x32) vs the 96 MB
+    cap; each split kernel stays well under it. The f32 residual
+    checkpoint R1 and the cell cotangent dR2 pass through HBM (~1 MB per
+    image at C=32 — noise next to the weight-grad traffic).
 
-    Recomputes the forward chain in VMEM (window block twice — classic
-    two-level checkpoint keeps only one block's intermediates live) and
-    backprops LSTM -> grid block -> window block -> downsample LN."""
+    refs in: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
+    lstm_w, lstm_b, h_in, c_in, dh_t, dc_t
+    refs out: R1 (f32 img), dR2 (f32 img), dlstm_w, dlstm_b, dh_in, dc_in.
+    """
     b = pl.program_id(0)
     n_extra = 2 if dense else 0
     n_in = 3 + _N_TRAIN_SFN + _N_TRAIN + n_extra + 6
@@ -460,67 +499,139 @@ def _stage_step_bwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
     else:
         bias_w = bias_g = None
     lstm_w, lstm_b, h_ref, c_ref, dht_ref, dct_ref = in_refs[-6:]
-
-    dx_ref, dds_s_ref, dds_b_ref = out_refs[0], out_refs[1], out_refs[2]
-    dprm_refs = out_refs[3:3 + _N_TRAIN_SFN + _N_TRAIN]
-    dlw_ref, dlb_ref, dhin_ref, dcin_ref = out_refs[-4:]
+    R1_ref, dR2_ref, dlw_ref, dlb_ref, dhin_ref, dcin_ref = out_refs
 
     T = H * W
-    # ---- forward recompute ----
+    # ---- forward recompute (no stores) ----
     xf = x_ref[0].astype(jnp.float32)
-    x_bf16, xhat0, rstd0 = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    x_bf16, _, _ = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
     R0 = x_bf16.astype(jnp.float32)
     R1, _ = _block_fwd(R0, win, window_mode=True, skip_first_norm=True,
                        x_in_bf16=x_bf16, H=H, W=W, C=C, heads=heads,
                        dh=dh, part=part, eps=eps, bias=bias_w, store=False)
-    R2, saved_g = _block_fwd(R1, grid, window_mode=False,
-                             skip_first_norm=False, x_in_bf16=None, H=H,
-                             W=W, C=C, heads=heads, dh=dh, part=part,
-                             eps=eps, bias=bias_g, store=True)
-    xh, f_g, i_g, o_g, g_c, c_prev, c_t, h_t = _lstm_recompute(
-        R2, h_ref[0], c_ref[0], lstm_w, lstm_b, T, C)
+    R2, _ = _block_fwd(R1, grid, window_mode=False,
+                       skip_first_norm=False, x_in_bf16=None, H=H,
+                       W=W, C=C, heads=heads, dh=dh, part=part,
+                       eps=eps, bias=bias_g, store=False)
+    R1_ref[0] = R1.reshape(R1_ref.shape[1:])
 
-    # ---- LSTM backward ----
-    dhf = dht_ref[0].astype(jnp.float32).reshape(T, C)
-    dcf = dct_ref[0].astype(jnp.float32).reshape(T, C)
-    tc = jnp.tanh(c_t)
-    do_g = dhf * tc
-    dct = dcf + dhf * o_g * (1.0 - tc * tc)
-    df_g = dct * c_prev
-    di_g = dct * g_c
-    dg_c = dct * i_g
-    dc_in = dct * f_g
-    dmix = jnp.concatenate(
-        [df_g * f_g * (1.0 - f_g), di_g * i_g * (1.0 - i_g),
-         do_g * o_g * (1.0 - o_g), dg_c * (1.0 - g_c * g_c)], axis=-1)
-    dmix_bf = dmix.astype(jnp.bfloat16)
-    _acc(dlw_ref, b, _dot_t(xh, dmix_bf))
-    _acc(dlb_ref, b, jnp.sum(dmix, axis=0, keepdims=True))
-    dxh = _dot_rt(dmix_bf, lstm_w[...])
+    # ---- LSTM recompute + backward, row-chunked (the cell is pointwise
+    # over tokens; the [rows, 4C] gate tensors are the stack peak) ----
+    R2f = R2.reshape(T, C)
+    xb_full = R2f.astype(jnp.bfloat16)
+    hb_full = h_ref[0].astype(jnp.bfloat16).reshape(T, C)
+    cp_full = c_ref[0].astype(jnp.float32).reshape(T, C)
+    dh_full = dht_ref[0].astype(jnp.float32).reshape(T, C)
+    dc_full = dct_ref[0].astype(jnp.float32).reshape(T, C)
+    chunk = _mlp_chunk_size(T, C)
+    dlw_acc = dlb_acc = 0.0
+    dR2_rows, dhin_rows, dcin_rows = [], [], []
+    for s in range(0, T, chunk):
+        xh = jnp.concatenate([xb_full[s:s + chunk], hb_full[s:s + chunk]],
+                             axis=-1)
+        mix = _dot(xh, lstm_w[...]).astype(jnp.bfloat16) + lstm_b[...]
+        gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
+                               ).astype(jnp.bfloat16)
+        f_g = gates[:, :C].astype(jnp.float32)
+        i_g = gates[:, C:2 * C].astype(jnp.float32)
+        o_g = gates[:, 2 * C:].astype(jnp.float32)
+        g_c = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
+                       ).astype(jnp.bfloat16).astype(jnp.float32)
+        c_prev = cp_full[s:s + chunk]
+        c_t = f_g * c_prev + i_g * g_c
+        dhf = dh_full[s:s + chunk]
+        dcf = dc_full[s:s + chunk]
+        tc = jnp.tanh(c_t)
+        do_g = dhf * tc
+        dct = dcf + dhf * o_g * (1.0 - tc * tc)
+        dmix = jnp.concatenate(
+            [dct * c_prev * f_g * (1.0 - f_g),
+             dct * g_c * i_g * (1.0 - i_g),
+             do_g * o_g * (1.0 - o_g),
+             dct * i_g * (1.0 - g_c * g_c)], axis=-1)
+        dmix_bf = dmix.astype(jnp.bfloat16)
+        dlw_acc = dlw_acc + _dot_t(xh, dmix_bf)
+        dlb_acc = dlb_acc + jnp.sum(dmix, axis=0, keepdims=True)
+        dxh = _dot_rt(dmix_bf, lstm_w[...])
+        dR2_rows.append(dxh[:, :C].astype(jnp.float32))
+        dhin_rows.append(dxh[:, C:2 * C].astype(jnp.float32))
+        dcin_rows.append(dct * f_g)
+    _acc(dlw_ref, b, dlw_acc)
+    _acc(dlb_ref, b, dlb_acc)
+    cat = (lambda rows: rows[0] if len(rows) == 1
+           else jnp.concatenate(rows, axis=0))
     shape = (T, C) if dense else (H, W, C)
-    dhin_ref[0] = dxh[:, C:2 * C].astype(jnp.float32).reshape(shape)
-    dcin_ref[0] = dc_in.reshape(shape)
-    dR2 = dxh[:, :C].astype(jnp.float32).reshape(R2.shape)
+    dhin_ref[0] = cat(dhin_rows).reshape(shape)
+    dcin_ref[0] = cat(dcin_rows).reshape(shape)
+    dR2_ref[0] = cat(dR2_rows).reshape(shape)
 
-    # ---- grid block backward ----
-    dR1, _, grads_g = _block_bwd(dR2, saved_g, grid, window_mode=False,
+
+def _bwd_grid_kernel(*refs, H, W, C, heads, dh, part, eps, dense):
+    """Backward kernel 2 of 3: grid-block backward from the R1 checkpoint.
+    refs in: R1 (f32 img), *grid(14), [bias_g,] dR2 (f32 img)
+    refs out: dR1 (f32 img), *dgrid(14)."""
+    b = pl.program_id(0)
+    R1_ref = refs[0]
+    grid_p = refs[1:1 + _N_TRAIN]
+    if dense:
+        bias_g = refs[1 + _N_TRAIN]
+        dR2_ref = refs[2 + _N_TRAIN]
+        out_refs = refs[3 + _N_TRAIN:]
+    else:
+        bias_g = None
+        dR2_ref = refs[1 + _N_TRAIN]
+        out_refs = refs[2 + _N_TRAIN:]
+    dR1_ref = out_refs[0]
+    dgrid_refs = out_refs[1:]
+
+    R1 = R1_ref[0].astype(jnp.float32)
+    _, saved_g = _block_fwd(R1, grid_p, window_mode=False,
+                            skip_first_norm=False, x_in_bf16=None, H=H,
+                            W=W, C=C, heads=heads, dh=dh, part=part,
+                            eps=eps, bias=bias_g, store=True)
+    dR2 = dR2_ref[0].astype(jnp.float32).reshape(R1.shape)
+    dR1, _, grads_g = _block_bwd(dR2, saved_g, grid_p, window_mode=False,
                                  skip_first_norm=False, H=H, W=W, C=C,
                                  heads=heads, dh=dh, part=part, eps=eps,
                                  bias=bias_g)
-    del saved_g
-    for ref, val in zip(dprm_refs[_N_TRAIN_SFN:], grads_g):
+    for ref, val in zip(dgrid_refs, grads_g):
         _acc(ref, b, val)
+    dR1_ref[0] = dR1.reshape(dR1_ref.shape[1:])
 
-    # ---- window block backward (recompute with stored intermediates) ----
-    _, saved_w = _block_fwd(R0, win, window_mode=True,
+
+def _bwd_window_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
+                       dense):
+    """Backward kernel 3 of 3: window-block + downsample-LN backward.
+    refs in: x, ds_s, ds_b, *win(12), [bias_w,] dR1 (f32 img)
+    refs out: dx (bf16 img), dds_s, dds_b, *dwin(12)."""
+    b = pl.program_id(0)
+    x_ref, ds_s, ds_b = refs[0], refs[1], refs[2]
+    win_p = refs[3:3 + _N_TRAIN_SFN]
+    if dense:
+        bias_w = refs[3 + _N_TRAIN_SFN]
+        dR1_ref = refs[4 + _N_TRAIN_SFN]
+        out_refs = refs[5 + _N_TRAIN_SFN:]
+    else:
+        bias_w = None
+        dR1_ref = refs[3 + _N_TRAIN_SFN]
+        out_refs = refs[4 + _N_TRAIN_SFN:]
+    dx_ref, dds_s_ref, dds_b_ref = out_refs[:3]
+    dwin_refs = out_refs[3:]
+
+    T = H * W
+    xf = x_ref[0].astype(jnp.float32)
+    x_bf16, xhat0, rstd0 = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    R0 = x_bf16.astype(jnp.float32)
+    _, saved_w = _block_fwd(R0, win_p, window_mode=True,
                             skip_first_norm=True, x_in_bf16=x_bf16, H=H,
                             W=W, C=C, heads=heads, dh=dh, part=part,
                             eps=eps, bias=bias_w, store=True)
-    dR0, dxa, grads_w = _block_bwd(dR1, saved_w, win, window_mode=True,
+    dR1 = dR1_ref[0].astype(jnp.float32).reshape(R0.shape)
+    dR0, dxa, grads_w = _block_bwd(dR1, saved_w, win_p, window_mode=True,
                                    skip_first_norm=True, H=H, W=W, C=C,
                                    heads=heads, dh=dh, part=part, eps=eps,
                                    bias=bias_w)
-    for ref, val in zip(dprm_refs[:_N_TRAIN_SFN], grads_w):
+    for ref, val in zip(dwin_refs, grads_w):
         _acc(ref, b, val)
 
     # x_bf16 feeds both the residual stream (R0) and the sfn attention
@@ -598,13 +709,12 @@ def _stage_fwd(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c):
 
 
 def _stage_bwd(cfg, res, cot):
+    """Three chained Pallas kernels (LSTM bwd -> grid bwd -> window bwd);
+    see ``_bwd_lstm_kernel`` for why the backward is split."""
     heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
     x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c = res
     dh_t, dc_t = cot
     B, H, W, C = x.shape
-    kernel = functools.partial(
-        _stage_step_bwd_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
     if dense:
         T = H * W
         x_in = x.reshape(B, T, C)
@@ -614,54 +724,83 @@ def _stage_bwd(cfg, res, cot):
         img = pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
         oshape = (B, T, C)
-        extra = (partition_bias(H, W, part, True),
-                 partition_bias(H, W, part, False))
+        bias_w = (partition_bias(H, W, part, True),)
+        bias_g = (partition_bias(H, W, part, False),)
     else:
         x_in, h_in, c_in, dh_in, dc_in = x, h, c, dh_t, dc_t
         img = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
         oshape = (B, H, W, C)
-        extra = ()
+        bias_w = bias_g = ()
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_p = 2 + len(win) + len(grid) + len(extra)
+    fimg = jax.ShapeDtypeStruct(oshape, jnp.float32)
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    gshape = lambda ps: tuple(
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in ps)
 
-    params = (ds_s, ds_b) + win + grid
-    grad_shapes = tuple(
-        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params)
-    out_shape = (
-        (jax.ShapeDtypeStruct(x_in.shape, jnp.bfloat16),)   # dx
-        + grad_shapes                                        # dds, dprm
-        + (jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
-           jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
-           jax.ShapeDtypeStruct(oshape, jnp.float32),        # dh_in
-           jax.ShapeDtypeStruct(oshape, jnp.float32)))       # dc_in
-    out_specs = ((img,) + tuple(full for _ in grad_shapes)
-                 + (full, full, img, img))
-    outs = pl.pallas_call(
-        kernel,
+    # kernel 1: forward chain + LSTM backward -> R1 checkpoint, dR2
+    k1 = functools.partial(
+        _bwd_lstm_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+    n_p1 = 2 + len(win) + len(grid) + len(bias_w) + len(bias_g)
+    R1, dR2, dlw, dlb, dh0, dc0 = pl.pallas_call(
+        k1,
         grid=(B,),
-        in_specs=[img] + [full] * n_p + [full, full, img, img, img, img],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+        in_specs=[img] + [full] * n_p1 + [full, full, img, img, img, img],
+        out_specs=(img, img, full, full, img, img),
+        out_shape=(fimg, fimg,
+                   jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
+                   fimg, fimg),
+        compiler_params=vmem,
         interpret=interpret,
-    )(x_in, ds_s, ds_b, *win, *grid, *extra, lstm_w, lstm_b, h_in, c_in,
-      dh_in, dc_in)
+    )(x_in, ds_s, ds_b, *win, *grid, *bias_w, *bias_g, lstm_w, lstm_b,
+      h_in, c_in, dh_in, dc_in)
 
-    dx = outs[0]
-    dparams = outs[1:1 + len(params)]
-    dlw, dlb, dh0, dc0 = outs[-4:]
+    # kernel 2: grid-block backward from the R1 checkpoint
+    k2 = functools.partial(
+        _bwd_grid_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, dense=dense)
+    outs2 = pl.pallas_call(
+        k2,
+        grid=(B,),
+        in_specs=[img] + [full] * (len(grid) + len(bias_g)) + [img],
+        out_specs=(img,) + (full,) * len(grid),
+        out_shape=(fimg,) + gshape(grid),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(R1, *grid, *bias_g, dR2)
+    dR1 = outs2[0]
+    dgrid_f = outs2[1:]
+
+    # kernel 3: window-block + downsample-LN backward
+    k3 = functools.partial(
+        _bwd_window_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+    outs3 = pl.pallas_call(
+        k3,
+        grid=(B,),
+        in_specs=[img, full, full] + [full] * (len(win) + len(bias_w))
+        + [img],
+        out_specs=(img, full, full) + (full,) * len(win),
+        out_shape=(jax.ShapeDtypeStruct(x_in.shape, jnp.bfloat16),)
+        + gshape((ds_s, ds_b)) + gshape(win),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *bias_w, dR1)
+    dx = outs3[0]
+    dds_s_f, dds_b_f = outs3[1], outs3[2]
+    dwin_f = outs3[3:]
+
     if dense:
         dx = dx.reshape(B, H, W, C)
         dh0 = dh0.reshape(B, H, W, C)
         dc0 = dc0.reshape(B, H, W, C)
     cast = lambda g, p: g.astype(p.dtype)
-    dds_s, dds_b = cast(dparams[0], ds_s), cast(dparams[1], ds_b)
-    dwin = tuple(cast(g, p) for g, p in zip(dparams[2:2 + len(win)], win))
-    dgrid = tuple(cast(g, p) for g, p in zip(dparams[2 + len(win):], grid))
-    return (dx.astype(x.dtype), dds_s, dds_b, dwin, dgrid,
-            cast(dlw, lstm_w), cast(dlb, lstm_b), dh0, dc0)
+    dwin = tuple(cast(g, p) for g, p in zip(dwin_f, win))
+    dgrid = tuple(cast(g, p) for g, p in zip(dgrid_f, grid))
+    return (dx.astype(x.dtype), cast(dds_s_f, ds_s), cast(dds_b_f, ds_b),
+            dwin, dgrid, cast(dlw, lstm_w), cast(dlb, lstm_b), dh0, dc0)
 
 
 fused_stage_step_train.defvjp(_stage_fwd, _stage_bwd)
