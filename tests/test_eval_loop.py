@@ -87,11 +87,13 @@ def test_run_streaming_eval(small_dataset, tmp_path):
 
 
 def test_multihost_sharded_eval_merges_to_full_metrics(small_dataset):
-    """Simulated 2-process eval: recordings sharded per process
-    (EvalStreamScheduler shard_index/num_shards), per-shard Prophesee
-    buffers exchanged via the serialized-buffer path, merged metrics must
-    equal the unsharded single-process metrics (round-1 VERDICT #8: each
-    host previously scored only its own shard)."""
+    """UNIT test of the shard/merge semantics with a faked exchange:
+    recordings sharded per process (EvalStreamScheduler
+    shard_index/num_shards), per-shard Prophesee buffers exchanged via the
+    serialized-buffer path, merged metrics must equal the unsharded
+    single-process metrics. The REAL 2-OS-process integration (actual
+    jax.distributed allgather, no monkeypatching) is
+    tests/test_multiprocess.py."""
     from rvt_tpu.parallel import multihost
 
     cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=5,
