@@ -126,18 +126,21 @@ def mixed_density_stack(x: Array, y: Array, pol: Array, t: Array,
 
 def _hist_tile_kernel(off_ref, r_ref, x_ref, out_ref, acc, r_s, x_s, sem_r,
                       sem_x, *, events_chunk: int, rows_per_tile: int,
-                      n_padded: int, count_cutoff: int):
+                      cols_per_tile: int, n_coltiles: int, n_padded: int,
+                      count_cutoff: int):
     b = pl.program_id(0)
-    t = pl.program_id(1)
-    start = off_ref[b, t]
-    end = off_ref[b, t + 1]
+    rt = pl.program_id(1)
+    ct = pl.program_id(2)
+    tt = rt * n_coltiles + ct
+    start = off_ref[b, tt]
+    end = off_ref[b, tt + 1]
     acc[...] = jnp.zeros_like(acc)
 
     E = events_chunk
     ER = E // 128
-    wp = out_ref.shape[2]
     row0 = start // 128  # sublane row of `start` in the [B, N/128, 128] view
     nch = (end - row0 * 128 + E - 1) // E
+    nch = jnp.where(end > start, nch, 0)  # empty tile: skip the matmul
 
     def body(k, _):
         nominal = row0 + k * ER
@@ -156,11 +159,11 @@ def _hist_tile_kernel(off_ref, r_ref, x_ref, out_ref, acc, r_s, x_s, sem_r,
         lo = jnp.maximum(start, nominal * 128)
         hi = jnp.minimum(end, (nominal + ER) * 128)
         ok = (pos >= lo) & (pos < hi)
-        rflat = r_s[...].reshape(1, E) - t * rows_per_tile
+        rflat = r_s[...].reshape(1, E) - rt * rows_per_tile
         rows = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, 1), 0)
         R = jnp.where((rows == rflat) & ok, 1.0, 0.0).astype(jnp.bfloat16)
-        xflat = x_s[...].reshape(1, E)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0)
+        xflat = x_s[...].reshape(1, E) - ct * cols_per_tile
+        cols = jax.lax.broadcasted_iota(jnp.int32, (cols_per_tile, 1), 0)
         CT = jnp.where(cols == xflat, 1.0, 0.0).astype(jnp.bfloat16)
         # precision=DEFAULT overrides the global f32 matmul-precision pin
         # (rvt_tpu/__init__.py) — Mosaic rejects bf16 operands under a
@@ -202,9 +205,12 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
                         for a in (x, y, pol, t))
 
     rows_total = 2 * bins * height
-    TR = 128  # histogram rows per grid tile
-    ntiles = (rows_total + TR - 1) // TR
-    wp = max(128, (width + 127) // 128 * 128)
+    TR = 128   # histogram rows per grid tile
+    CW = 128   # histogram columns per grid tile (one lane tile)
+    n_rt = (rows_total + TR - 1) // TR
+    wp = max(CW, (width + CW - 1) // CW * CW)
+    n_ct = wp // CW
+    n_tiles = n_rt * n_ct
 
     valid = jnp.arange(npad)[None, :] < num_events[:, None]
     t_idx = jax.vmap(lambda tt, nn: _time_bin_indices(tt, nn, bins))(
@@ -212,24 +218,32 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
     r = (pol * bins + t_idx) * height + y
     drop = (~valid | (x < 0) | (x >= width) | (y < 0) | (y >= height)
             | (pol < 0) | (pol > 1))
-    r = jnp.where(drop, ntiles * TR, r).astype(jnp.int32)
-    r_sorted, x_sorted = jax.lax.sort((r, x.astype(jnp.int32)), num_keys=1)
+    # sort key = (row-tile, col-tile) pair: each program owns a [128, 128]
+    # tile, so the one-hot matmul is 128xEx128 regardless of image width.
+    # (The previous full-width tile paid width/128 more MXU work per
+    # chunk — 10x waste at gen4's padded width 1280.)
+    tile = jnp.where(drop, n_tiles,
+                     (r // TR) * n_ct + x // CW).astype(jnp.int32)
+    r = jnp.where(drop, n_rt * TR, r).astype(jnp.int32)
+    tile_sorted, r_sorted, x_sorted = jax.lax.sort(
+        (tile, r, x.astype(jnp.int32)), num_keys=1)
 
-    bounds = (jnp.arange(ntiles + 1, dtype=jnp.int32) * TR)
-    # tile offsets by binary search (O(ntiles log N); the dense
-    # [B, ntiles+1, N] comparison this replaces was ~240M elements at
-    # gen4 scale: 1 Mpx -> 113 row tiles x 256k events)
-    off = jax.vmap(lambda rs: jnp.searchsorted(rs, bounds, side="left")
-                   )(r_sorted).astype(jnp.int32)  # [B, ntiles+1]
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    # tile offsets by binary search (O(n_tiles log N); the dense
+    # [B, n_tiles+1, N] comparison this replaces was ~240M elements at
+    # gen4 scale)
+    off = jax.vmap(lambda ts: jnp.searchsorted(ts, bounds, side="left")
+                   )(tile_sorted).astype(jnp.int32)  # [B, n_tiles+1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, ntiles),
+        grid=(B, n_rt, n_ct),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, TR, wp), lambda b, t_, off: (b, t_, 0)),
+        out_specs=pl.BlockSpec((1, TR, CW),
+                               lambda b, rt, ct, off: (b, rt, ct)),
         scratch_shapes=[
-            pltpu.VMEM((TR, wp), jnp.float32),
+            pltpu.VMEM((TR, CW), jnp.float32),
             pltpu.VMEM((E // 128, 128), jnp.int32),
             pltpu.VMEM((E // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -237,12 +251,13 @@ def stacked_histogram_pallas_batched(x: Array, y: Array, pol: Array, t: Array,
         ],
     )
     kernel = functools.partial(_hist_tile_kernel, events_chunk=E,
-                               rows_per_tile=TR, n_padded=npad,
+                               rows_per_tile=TR, cols_per_tile=CW,
+                               n_coltiles=n_ct, n_padded=npad,
                                count_cutoff=count_cutoff)
     hist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, ntiles * TR, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((B, n_rt * TR, wp), jnp.uint8),
         interpret=interpret,
     )(off, r_sorted.reshape(B, npad // 128, 128),
       x_sorted.reshape(B, npad // 128, 128))
