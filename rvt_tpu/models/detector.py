@@ -170,9 +170,11 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     Per stage: the downsample conv + LN runs in XLA, batched over the
     whole window (one conv of T*B images — weights load once, MXU batches
     well), then ``fused_stage_scan`` runs attention pair + ConvLSTM for
-    all T steps in one kernel with the carry in VMEM. Stages whose
-    working set exceeds the kernel envelope (gen4 stage 1) fall back to a
-    ``lax.scan`` over the per-step fused pair/cell kernels.
+    all T steps in one kernel with the carry in VMEM (gen4 stage 1's
+    983k-element maps included: MLP and LSTM epilogue run row-chunked
+    under the geometry-scaled vmem cap). Stages whose working set
+    exceeds even the widened scan envelope (>1M elements/image) fall
+    back to a ``lax.scan`` over the per-step fused pair/cell kernels.
 
     Numerics match the lax.scan path at bf16 noise: inter-stage hidden
     states travel as bf16, which is exactly the cast the next conv / the
@@ -181,7 +183,7 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
     from rvt_tpu.ops.fused_attention import (attention_block_params,
                                              stage_fusion_mode)
-    from rvt_tpu.ops.fused_scan import fused_stage_scan
+    from rvt_tpu.ops.fused_scan import fused_stage_scan, split_stage_scan
     from rvt_tpu.ops.s2d import fold_stem_kernel
 
     cfg = model.cfg.backbone
@@ -232,8 +234,9 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
         ln_prm = downsample_ln_params(sp, C)
 
         mode = stage_fusion_mode(h_dim, w_dim, C,
-                                 tuple(cfg.attention.partition_size))
-        if mode is not None:
+                                 tuple(cfg.attention.partition_size),
+                                 scan=True)
+        if mode in ("part", "dense"):
             h_seq, hT, cT = fused_stage_scan(
                 x_seq,
                 attention_block_params(sp["block0"]["att_window"], True),
@@ -247,8 +250,11 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                 dense=mode == "dense",
                 interpret=interpret)
         else:
-            # oversized stage (gen4 stage 1): per-step fused pair + cell;
-            # the downsample LN runs here in XLA (same math as in-kernel)
+            # gen4-stage-1-class and oversized stages: downsample LN in
+            # XLA (same math as in-kernel), then either the 'split' mode
+            # (one batched attention-pair launch over all T*B frames +
+            # whole-window LSTM-scan kernel) or, beyond 1M elements, a
+            # per-step lax.scan over the fused pair/cell kernels.
             s, b_ = [a.astype(jnp.float32) for a in ln_prm]
             xf = x_seq.astype(jnp.float32)
             mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -256,21 +262,33 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                 jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
             x_seq = ((xf - mu) * jax.lax.rsqrt(var + cfg.downsample.norm_eps)
                      * s + b_).astype(dtype)
-            pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
-                                       skip_first_norm=True, dtype=dtype,
-                                       fused=True)
-            cell = DWSConvLSTM2d(dim=C, cfg=cfg.lstm, dtype=dtype,
-                                 fused=True)
-            pvars = {"params": sp["block0"]}
-            cvars = {"params": {"conv1x1": lp}}
+            if mode == "split":
+                h_seq, hT, cT = split_stage_scan(
+                    x_seq,
+                    attention_block_params(sp["block0"]["att_window"], True),
+                    attention_block_params(sp["block0"]["att_grid"], False),
+                    lw, lb, h0, c0,
+                    heads=C // cfg.attention.dim_head,
+                    dim_head=cfg.attention.dim_head,
+                    part=tuple(cfg.attention.partition_size),
+                    eps=cfg.attention.norm_eps,
+                    interpret=interpret)
+            else:
+                pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
+                                           skip_first_norm=True, dtype=dtype,
+                                           fused=True)
+                cell = DWSConvLSTM2d(dim=C, cfg=cfg.lstm, dtype=dtype,
+                                     fused=True)
+                pvars = {"params": sp["block0"]}
+                cvars = {"params": {"conv1x1": lp}}
 
-            def stage_step(carry, x_t, pair=pair, cell=cell, pvars=pvars,
-                           cvars=cvars):
-                y = pair.apply(pvars, x_t, True)
-                h_t, c_t = cell.apply(cvars, y, carry, True)
-                return (h_t, c_t), h_t.astype(dtype)
+                def stage_step(carry, x_t, pair=pair, cell=cell,
+                               pvars=pvars, cvars=cvars):
+                    y = pair.apply(pvars, x_t, True)
+                    h_t, c_t = cell.apply(cvars, y, carry, True)
+                    return (h_t, c_t), h_t.astype(dtype)
 
-            (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
+                (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
 
         states_out.append((hT, cT))
         feats[idx + 1] = h_seq

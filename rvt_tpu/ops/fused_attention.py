@@ -61,14 +61,24 @@ _N_PARAMS = 12
 _N_PARAMS_SFN = 10
 
 
-def partition_geometry_ok(H: int, W: int, part: Tuple[int, int]) -> bool:
+def partition_geometry_ok(H: int, W: int, C: int,
+                          part: Tuple[int, int]) -> bool:
     """Mosaic shape-cast envelope for the *partitioned* attention path.
 
-    The partition reshapes split the tiled W / token dims; Mosaic's
-    infer-vector-layout only supports such splits when the minor chunk is
-    at least the 8-sublane tile or the split is trivial (outer factor 1,
-    or chunk 1). Observed on v5e: W=80 -> (8, 10) lowers, W=24 -> (8, 3)
-    is rejected ("unsupported shape cast", docs/ROUND2.md Mosaic notes).
+    The partition reshapes split the W (second-minor) dim, whose rows
+    pack with the lane dim C into bf16 (16, 128) tiles — two W-rows per
+    32-bit sublane. Mosaic's infer-vector-layout supports the split when
+    each minor chunk is a whole number of packed sublanes (minor even)
+    covering at least one 128-lane tile (minor * C >= 128), or the split
+    is trivial. Empirical envelope, probed lowered on v5e (every row
+    matches this rule; odd minors and sub-tile chunks are the rejects):
+
+      W=80 ->(8,10)  C=32..64   lowers   W=160 ->(16,10) C=64  lowers
+      W=40 ->(10,4)  C=128      lowers   W=20  ->(10,2)  C=256 lowers
+      W=20 ->(2,10)  C=512      lowers   W=10  ->(10,1)  C=512 lowers
+      W=24 ->(8,3)   C=32   REJECTED ("unsupported shape cast")
+      W=48 ->(16,3)  C=64   REJECTED (odd minor, even though 3*64 > 128)
+
     Geometries outside this envelope use the masked-dense path instead
     (see ``dense_attention_ok``)."""
     ph, pw = part
@@ -77,11 +87,12 @@ def partition_geometry_ok(H: int, W: int, part: Tuple[int, int]) -> bool:
     nh, nw = H // ph, W // pw
 
     def split_ok(outer: int, minor: int) -> bool:
-        return minor >= 8 or outer == 1 or minor == 1
+        return (outer == 1 or minor == 1
+                or (minor % 2 == 0 and minor * C >= 128))
 
     return (split_ok(nw, pw)            # window mode: W -> (nw, pw)
             and split_ok(pw, nw)        # grid mode:   W -> (pw, nw)
-            and split_ok(nh * nw, ph * pw))  # tokens -> (parts, N)
+            and ph * pw >= 8)           # tokens sublane dim -> (parts, N)
 
 
 def dense_attention_ok(H: int, W: int) -> bool:
@@ -444,20 +455,33 @@ def fused_stage(x: Array, params_window: Tuple[Array, ...],
 
 
 def stage_fusion_mode(H: int, W: int, C: int,
-                      part: Tuple[int, int]) -> str | None:
+                      part: Tuple[int, int], *,
+                      scan: bool = False) -> str | None:
     """Execution mode for the whole-stage/stage-scan kernels at this
     geometry: 'part' (partitioned reshapes), 'dense' (masked-dense small
     maps), or None (fall back to per-step kernels / XLA). Combines the
     VMEM envelope (same pair criterion as ``fused_attention_pair`` plus
     the LSTM weights/gates, ~+5 MB at C=512) with the Mosaic shape-cast
-    envelope (``partition_geometry_ok``)."""
+    envelope (``partition_geometry_ok``).
+
+    ``scan``: the whole-window serving path (ops/fused_scan) can also
+    return 'split' for gen4-stage-1-class images (512k < elements <=
+    1M): the attention pair runs as ONE batched kernel launch over all
+    T*B frames (it has no time recurrence) and only the ConvLSTM scans
+    with its carry in VMEM (``fused_lstm_scan``). A single monolithic
+    stage-scan kernel at that size reproducibly OOM-kills the Mosaic
+    compile, so the one-kernel mode keeps the 512k envelope."""
     per_image_elems = H * W * C
     weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C) + 2 * 2 * C * 4 * C
     act_bytes = 14 * per_image_elems
-    if (weight_bytes + act_bytes > 24 * 2 ** 20
-            or per_image_elems > 512 * 1024):
+    if weight_bytes + act_bytes > 24 * 2 ** 20:
         return None
-    if partition_geometry_ok(H, W, part):
+    if per_image_elems > 512 * 1024:
+        if (scan and per_image_elems <= 1024 * 1024
+                and partition_geometry_ok(H, W, C, part)):
+            return "split"
+        return None
+    if partition_geometry_ok(H, W, C, part):
         return "part"
     if dense_attention_ok(H, W):
         return "dense"
@@ -481,7 +505,7 @@ def pair_fusion_mode(H: int, W: int, C: int,
     lane-split use the masked-dense path when small enough."""
     if H * W * C > 1024 * 1024:
         return None
-    if partition_geometry_ok(H, W, part):
+    if partition_geometry_ok(H, W, C, part):
         return "part"
     if dense_attention_ok(H, W):
         return "dense"

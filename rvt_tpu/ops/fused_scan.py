@@ -40,6 +40,14 @@ from rvt_tpu.ops.fused_attention import (_N_PARAMS, _N_PARAMS_SFN, _DOT,
 
 Array = jax.Array
 
+# LSTM-epilogue row-chunking thresholds (see _stage_scan_kernel): maps
+# above _CHUNK_ELEMS elements chunk their cell math to ~_CHUNK_TARGET
+# bytes of f32 temporaries. Module-level so tests can force the chunked
+# path at tiny geometries (it is bitwise equal to monolithic: every
+# output row depends only on its own row).
+_CHUNK_ELEMS = 512 * 1024
+_CHUNK_TARGET = 4 * 2 ** 20
+
 
 def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
                        ds_ln, ds_eps, dense):
@@ -90,19 +98,34 @@ def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
     T = H * W
     xb = R.astype(jnp.bfloat16).reshape(T, C)
     hb = h_s[...].astype(jnp.bfloat16).reshape(T, C)
-    xh = jnp.concatenate([xb, hb], axis=-1)
-    mix = jax.lax.dot_general(xh, lstm_w[...],
-                              dimension_numbers=(((1,), (0,)), ((), ())),
-                              **_DOT).astype(jnp.bfloat16) + lstm_b[...]
-    gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
-                           ).astype(jnp.bfloat16)
-    forget_gate = gates[:, :C].astype(jnp.float32)
-    input_gate = gates[:, C:2 * C].astype(jnp.float32)
-    output_gate = gates[:, 2 * C:].astype(jnp.float32)
-    cell_input = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
-                          ).astype(jnp.bfloat16).astype(jnp.float32)
-    c_t = (forget_gate * c_s[...].reshape(T, C) + input_gate * cell_input)
-    h_t = output_gate * jnp.tanh(c_t)
+    c_prev = c_s[...].reshape(T, C)
+    # The cell is token-pointwise, so it runs in row chunks like the MLP:
+    # the dominant temporaries are the f32 [chunk, 4C] matmul accumulator
+    # and the f32 gate tensors (~9*chunk*C*4 bytes live). Monolithic for
+    # gen1-sized maps; gen4-stage-1-class images (983k elems) chunk to
+    # ~4 MB so the scan kernel stays inside its 100 MB scoped-vmem cap.
+    chunk = T
+    if T * C > _CHUNK_ELEMS:
+        while chunk * C * 4 * 9 > _CHUNK_TARGET and chunk % 2 == 0:
+            chunk //= 2
+    h_parts, c_parts = [], []
+    for s in range(0, T, chunk):
+        xh = jnp.concatenate([xb[s:s + chunk], hb[s:s + chunk]], axis=-1)
+        mix = jax.lax.dot_general(xh, lstm_w[...],
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  **_DOT).astype(jnp.bfloat16) + lstm_b[...]
+        gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
+                               ).astype(jnp.bfloat16)
+        forget_gate = gates[:, :C].astype(jnp.float32)
+        input_gate = gates[:, C:2 * C].astype(jnp.float32)
+        output_gate = gates[:, 2 * C:].astype(jnp.float32)
+        cell_input = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
+                              ).astype(jnp.bfloat16).astype(jnp.float32)
+        c_k = forget_gate * c_prev[s:s + chunk] + input_gate * cell_input
+        h_parts.append(output_gate * jnp.tanh(c_k))
+        c_parts.append(c_k)
+    c_t = c_parts[0] if len(c_parts) == 1 else jnp.concatenate(c_parts, 0)
+    h_t = h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts, 0)
     h_hw = h_t if dense else h_t.reshape(H, W, C)
     c_hw = c_t if dense else c_t.reshape(H, W, C)
     h_s[...] = h_hw
@@ -192,3 +215,97 @@ def fused_stage_scan(x_seq: Array, params_window: Tuple[Array, ...],
         return (h_seq.reshape(T, B, H, W, C), hT.reshape(B, H, W, C),
                 cT.reshape(B, H, W, C))
     return h_seq, hT, cT
+
+
+def _lstm_scan_kernel(x_ref, w_ref, b_ref, h0_ref, c0_ref, hseq_ref,
+                      hT_ref, cT_ref, h_s, c_s, *, C: int):
+    """Whole-window ConvLSTM scan over one row-slab of one image: grid
+    (B, S, T) with t innermost, carry in VMEM scratch. The cell is
+    per-pixel (no dws conv in shipped configs), so row-slab splitting is
+    exact. Same numerics as ops/fused_lstm._lstm_kernel."""
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        h_s[...] = h0_ref[0]
+        c_s[...] = c0_ref[0]
+
+    Hs, W = x_ref.shape[2], x_ref.shape[3]
+    T = Hs * W
+    xb = x_ref[0, 0].astype(jnp.bfloat16).reshape(T, C)
+    hb = h_s[...].astype(jnp.bfloat16).reshape(T, C)
+    xh = jnp.concatenate([xb, hb], axis=-1)
+    mix = jax.lax.dot_general(xh, w_ref[...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              **_DOT).astype(jnp.bfloat16) + b_ref[...]
+    gates = jax.nn.sigmoid(mix[:, :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16)
+    forget_gate = gates[:, :C].astype(jnp.float32)
+    input_gate = gates[:, C:2 * C].astype(jnp.float32)
+    output_gate = gates[:, 2 * C:].astype(jnp.float32)
+    cell_input = jnp.tanh(mix[:, 3 * C:].astype(jnp.float32)
+                          ).astype(jnp.bfloat16).astype(jnp.float32)
+    c_t = forget_gate * c_s[...].reshape(T, C) + input_gate * cell_input
+    h_t = output_gate * jnp.tanh(c_t)
+    h_s[...] = h_t.reshape(Hs, W, C)
+    c_s[...] = c_t.reshape(Hs, W, C)
+    hseq_ref[0, 0] = h_s[...].astype(jnp.bfloat16)
+    # constant block index over t: the final write (t = T-1) is what lands
+    hT_ref[0] = h_s[...]
+    cT_ref[0] = c_s[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_lstm_scan(x_seq: Array, lstm_w: Array, lstm_b: Array, h0: Array,
+                    c0: Array, interpret: bool = False
+                    ) -> Tuple[Array, Array, Array]:
+    """Scan the ConvLSTM cell over a whole [T, B, H, W, C] window with the
+    carry in VMEM (the 'split' serving mode for stages too large for the
+    one-kernel stage scan). x_seq: attention-pair outputs, bf16 or f32.
+    Returns (h_seq [T, B, H, W, C] bf16, h_T f32, c_T f32)."""
+    T, B, H, W, C = x_seq.shape
+    rows_split = 1
+    while (H % (rows_split * 2) == 0
+           and (H // rows_split) * W * C > 128 * 1024):
+        rows_split *= 2
+    Hs = H // rows_split
+    seq = pl.BlockSpec((1, 1, Hs, W, C), lambda b, s, t: (t, b, s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((1, Hs, W, C), lambda b, s, t: (b, s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_lstm_scan_kernel, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, rows_split, T),
+        in_specs=[seq, full, full, img, img],
+        out_specs=(seq, img, img),
+        out_shape=(jax.ShapeDtypeStruct((T, B, H, W, C), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((Hs, W, C), jnp.float32),
+                        pltpu.VMEM((Hs, W, C), jnp.float32)],
+        interpret=interpret,
+    )(x_seq, lstm_w, lstm_b, h0, c0)
+
+
+def split_stage_scan(x_seq_normed: Array, params_window, params_grid,
+                     lstm_w: Array, lstm_b: Array, h0: Array, c0: Array, *,
+                     heads: int, dim_head: int, part: Tuple[int, int],
+                     eps: float, interpret: bool = False
+                     ) -> Tuple[Array, Array, Array]:
+    """'split' serving mode for stages beyond the one-kernel envelope
+    (gen4 stage 1): the attention pair — which has no time recurrence —
+    runs as one batched kernel launch over all T*B frames (weights staged
+    once per launch), then ``fused_lstm_scan`` runs the recurrence with
+    the carry in VMEM. x_seq_normed: [T, B, H, W, C] bf16, downsample LN
+    already applied (the pair runs skip_first_norm=True)."""
+    from rvt_tpu.ops.fused_attention import fused_attention_pair
+
+    T, B, H, W, C = x_seq_normed.shape
+    y = fused_attention_pair(
+        x_seq_normed.reshape(T * B, H, W, C), params_window, params_grid,
+        heads=heads, dim_head=dim_head, part=part, skip_first_norm=True,
+        eps=eps, interpret=interpret)
+    return fused_lstm_scan(y.reshape(T, B, H, W, C).astype(jnp.bfloat16),
+                           lstm_w, lstm_b, h0, c0, interpret=interpret)

@@ -819,7 +819,7 @@ def train_stage_mode(H: int, W: int, C: int,
     act_bytes = 30 * per_image
     if grad_bytes + act_bytes > 56 * 2 ** 20 or per_image > 512 * 1024:
         return None
-    if partition_geometry_ok(H, W, part):
+    if partition_geometry_ok(H, W, C, part):
         return "part"
     if dense_attention_ok(H, W):
         return "dense"

@@ -280,3 +280,88 @@ def test_fused_scan_backbone_s2d_stem_in_kernel():
         assert np.abs(fr - ff).max() < 0.05 * scale
     for (hr, cr), (hf, cf) in zip(st_r, st_f):
         np.testing.assert_allclose(np.asarray(hf), np.asarray(hr), atol=4e-2)
+
+
+def test_stage_scan_chunked_lstm_epilogue_bitwise(monkeypatch):
+    """gen4 stage 1 runs the stage-scan kernel with its LSTM epilogue
+    row-chunked (ops/fused_scan._CHUNK_ELEMS). The cell math is
+    token-pointwise, so chunked and monolithic must be BITWISE equal —
+    pinned here by forcing chunking at a tiny geometry."""
+    from rvt_tpu.ops import fused_scan
+    from rvt_tpu.ops.fused_attention import attention_block_params
+
+    H, W, C, dh, part = 16, 20, 64, 32, (8, 10)
+    T, B = 3, 2
+    cfg = AttentionConfig(partition_size=part, dim_head=dh)
+    mod = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                              dtype=jnp.bfloat16, fused=False)
+    rng = np.random.RandomState(0)
+    x1 = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    variables = mod.init(jax.random.PRNGKey(1), x1)
+    p = variables["params"]
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C), jnp.bfloat16)
+    lw = jnp.asarray(rng.randn(2 * C, 4 * C) * 0.05, jnp.bfloat16)
+    lb = jnp.asarray(rng.randn(1, 4 * C) * 0.05, jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    args = (x_seq, attention_block_params(p["att_window"], True),
+            attention_block_params(p["att_grid"], False), lw, lb, h0, c0)
+    kw = dict(heads=C // dh, dim_head=dh, part=part, eps=cfg.norm_eps,
+              interpret=True)
+
+    ref = fused_scan.fused_stage_scan(*args, **kw)
+    fused_scan.fused_stage_scan.clear_cache()
+    # force the chunked path: every map "exceeds" the threshold and the
+    # 9*chunk*C*4-byte budget forces several row chunks
+    monkeypatch.setattr(fused_scan, "_CHUNK_ELEMS", 0)
+    monkeypatch.setattr(fused_scan, "_CHUNK_TARGET",
+                        (H * W // 4) * C * 4 * 9)
+    got = fused_scan.fused_stage_scan(*args, **kw)
+    fused_scan.fused_stage_scan.clear_cache()
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_stage_scan_envelope_gen4_stage1():
+    """The scan envelope admits gen4 stage 1 (983k elements) for the
+    whole-window kernel while the per-step whole-stage kernel keeps its
+    tighter bound; >1M elements falls out of both."""
+    from rvt_tpu.ops.fused_attention import stage_fusion_mode
+
+    assert stage_fusion_mode(96, 160, 64, (6, 10), scan=True) == "split"
+    assert stage_fusion_mode(96, 160, 64, (6, 10)) is None
+    assert stage_fusion_mode(192, 160, 64, (6, 10), scan=True) is None
+
+
+@pytest.mark.parametrize("geom", [(16, 20, 64), (64, 64, 64)])
+def test_fused_lstm_scan_matches_per_step_cell(geom):
+    """The whole-window LSTM-scan kernel (split serving mode) must match
+    per-step cell math; the larger geometry forces the row-slab split
+    (Hs*W*C > 128k elements per block)."""
+    from rvt_tpu.ops.fused_scan import fused_lstm_scan
+
+    H, W, C = geom
+    T, B = 3, 2
+    rng = np.random.RandomState(0)
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C) * 0.5, jnp.bfloat16)
+    lw = jnp.asarray(rng.randn(2 * C, 4 * C) * 0.05, jnp.bfloat16)
+    lb = jnp.asarray(rng.randn(1, 4 * C) * 0.05, jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    h_seq, hT, cT = fused_lstm_scan(x_seq, lw, lb, h0, c0, interpret=True)
+
+    h_ref, c_ref = h0, c0
+    for t in range(T):
+        xh = jnp.concatenate([x_seq[t], h_ref.astype(jnp.bfloat16)], -1)
+        mix = (jnp.einsum("bhwc,cd->bhwd", xh, lw).astype(jnp.bfloat16)
+               + lb.reshape(1, 1, 1, -1))
+        g = jax.nn.sigmoid(mix[..., :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16).astype(jnp.float32)
+        ci = jnp.tanh(mix[..., 3 * C:].astype(jnp.float32)
+                      ).astype(jnp.bfloat16).astype(jnp.float32)
+        c_ref = g[..., :C] * c_ref + g[..., C:2 * C] * ci
+        h_ref = g[..., 2 * C:] * jnp.tanh(c_ref)
+        d = float(jnp.max(jnp.abs(h_seq[t].astype(jnp.float32) - h_ref)))
+        assert d < 2e-2, (t, d)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(h_ref), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(c_ref), atol=4e-2)

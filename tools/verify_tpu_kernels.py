@@ -142,7 +142,99 @@ def _verify_stage_scan() -> int:
     for (hr, _), (hf, _) in zip(st_r, st_f):
         ok &= float(jnp.max(jnp.abs(hf - hr))) < 5e-2
     print(f"stage_scan/tiny-4step: {'OK' if ok else 'MISMATCH'}")
-    return int(not ok)
+
+    # gen4 stage 1 (983k elements/image): the 'split' scan mode — one
+    # batched attention-pair launch over T*B frames + the whole-window
+    # LSTM-scan kernel with the carry in VMEM.
+    from rvt_tpu.config import AttentionConfig
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
+    from rvt_tpu.ops.fused_attention import (attention_block_params,
+                                             stage_fusion_mode)
+    from rvt_tpu.ops.fused_scan import split_stage_scan
+
+    H, W, C, dh, part = 96, 160, 64, 32, (6, 10)
+    T, B = 3, 1
+    assert stage_fusion_mode(H, W, C, part, scan=True) == "split"
+    acfg = AttentionConfig(partition_size=part, dim_head=dh)
+    pair = MaxVitAttentionPair(dim=C, cfg=acfg, skip_first_norm=True,
+                               dtype=jnp.bfloat16, fused=False)
+    rng = np.random.RandomState(1)
+    x1 = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    pvars = pair.init(jax.random.PRNGKey(2), x1)
+    p = pvars["params"]
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C) * 0.5, jnp.bfloat16)
+    lw = jnp.asarray(rng.randn(2 * C, 4 * C) * 0.05, jnp.bfloat16)
+    lb = jnp.asarray(rng.randn(1, 4 * C) * 0.05, jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    h_seq, hT, cT = split_stage_scan(
+        x_seq, attention_block_params(p["att_window"], True),
+        attention_block_params(p["att_grid"], False), lw, lb, h0, c0,
+        heads=C // dh, dim_head=dh, part=part, eps=acfg.norm_eps)
+    # XLA oracle: per-step pair + cell math (same as the module path)
+    h_ref, c_ref = h0, c0
+
+    def cell(x, h, c):
+        xh = jnp.concatenate([x.astype(jnp.bfloat16),
+                              h.astype(jnp.bfloat16)], -1)
+        mix = (jnp.einsum("bhwc,cd->bhwd", xh, lw.astype(jnp.bfloat16))
+               .astype(jnp.bfloat16) + lb.reshape(1, 1, 1, -1))
+        g = jax.nn.sigmoid(mix[..., :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16).astype(jnp.float32)
+        ci = jnp.tanh(mix[..., 3 * C:].astype(jnp.float32)
+                      ).astype(jnp.bfloat16).astype(jnp.float32)
+        cn = g[..., :C] * c + g[..., C:2 * C] * ci
+        return g[..., 2 * C:] * jnp.tanh(cn), cn
+
+    ok4 = True
+    for t in range(T):
+        a = pair.apply(pvars, x_seq[t])
+        h_ref, c_ref = cell(a, h_ref, c_ref)
+        d = float(jnp.max(jnp.abs(h_seq[t].astype(jnp.float32)
+                                  - h_ref.astype(jnp.float32))))
+        ok4 &= d < 5e-2
+    ok4 &= float(jnp.max(jnp.abs(hT - h_ref))) < 5e-2
+    ok4 &= float(jnp.max(jnp.abs(cT - c_ref))) < 1e-1
+    print(f"stage_scan/gen4-stage1: {'OK' if ok4 else 'MISMATCH'}")
+
+    # gen1 stage 2 (32x40x128, part (8, 10)): the even-minor-chunk
+    # geometries re-admitted to 'part' mode by the round-3 envelope fix
+    # (partition_geometry_ok) — parity of the one-kernel stage scan vs
+    # the per-step XLA oracle, lowered. One geometry stands in for the
+    # family (stages 2-4 gen1 / 2-4 gen4 share the code path).
+    from rvt_tpu.ops.fused_scan import fused_stage_scan
+    H, W, C, dh, part = 32, 40, 128, 32, (8, 10)
+    assert stage_fusion_mode(H, W, C, part, scan=True) == "part"
+    acfg = AttentionConfig(partition_size=part, dim_head=dh)
+    pair = MaxVitAttentionPair(dim=C, cfg=acfg, skip_first_norm=True,
+                               dtype=jnp.bfloat16, fused=False)
+    rng = np.random.RandomState(3)
+    x1 = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    pvars = pair.init(jax.random.PRNGKey(4), x1)
+    p = pvars["params"]
+    T, B = 3, 2
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C) * 0.5, jnp.bfloat16)
+    lw = jnp.asarray(rng.randn(2 * C, 4 * C) * 0.05, jnp.bfloat16)
+    lb = jnp.asarray(rng.randn(1, 4 * C) * 0.05, jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    h_seq, hT, cT = fused_stage_scan(
+        x_seq, attention_block_params(p["att_window"], True),
+        attention_block_params(p["att_grid"], False), lw, lb, h0, c0,
+        heads=C // dh, dim_head=dh, part=part, eps=acfg.norm_eps,
+        dense=False)
+    h_ref, c_ref = h0, c0
+    okp = True
+    for t in range(T):
+        a = pair.apply(pvars, x_seq[t])
+        h_ref, c_ref = cell(a, h_ref, c_ref)
+        d = float(jnp.max(jnp.abs(h_seq[t].astype(jnp.float32)
+                                  - h_ref.astype(jnp.float32))))
+        okp &= d < 5e-2
+    okp &= float(jnp.max(jnp.abs(hT - h_ref))) < 5e-2
+    okp &= float(jnp.max(jnp.abs(cT - c_ref))) < 1e-1
+    print(f"stage_scan/gen1-stage2-part: {'OK' if okp else 'MISMATCH'}")
+    return int(not ok) + int(not ok4) + int(not okp)
 
 
 def _verify_fused_lstm() -> int:
