@@ -33,7 +33,9 @@ WARMUP = 2
 ITERS = 20
 
 
-def main() -> None:
+def _measure(dataset: str, raw_hw, seq_len: int, label_every: int) -> float:
+    """Streaming-eval throughput (event-frames/s) for RVT-B on one dataset
+    geometry with the fused serving path."""
     from dataclasses import replace
 
     from rvt_tpu.config import preset
@@ -42,7 +44,7 @@ def main() -> None:
 
     from rvt_tpu.ops.s2d import host_space_to_depth
 
-    cfg = preset("gen1", "base")
+    cfg = preset(dataset, "base")
     cfg = replace(cfg, model=replace(
         cfg.model, compute_dtype="bfloat16",
         backbone=replace(cfg.model.backbone, stem_s2d=True,
@@ -61,12 +63,15 @@ def main() -> None:
     eval_step = make_eval_step(model, cfg)
 
     rng = np.random.RandomState(0)
-    ev_raw = rng.randint(0, 8, size=(BATCH, SEQ_LEN, 240, 304, 20)).astype(np.uint8)
+    ev_raw = rng.randint(
+        0, 8, size=(BATCH, seq_len) + raw_hw + (20,)).astype(np.uint8)
     # host-side pad + space-to-depth (runs in the prefetcher in production)
     ev = jnp.asarray(host_space_to_depth(ev_raw, (H, W)))
-    # realistic label cadence: every 5th frame labelled (4 Hz vs 20 Hz)
+    # realistic label cadence (gen1: 4 Hz labels vs 20 Hz frames; gen4:
+    # 10 Hz vs 20 Hz)
     frame_valid = jnp.asarray(
-        (np.arange(SEQ_LEN) % 5 == 4)[None].repeat(BATCH, 0))
+        (np.arange(seq_len) % label_every == label_every - 1)
+        [None].repeat(BATCH, 0))
     is_first = jnp.zeros((BATCH,), bool)
     states = zero_states(cfg.model.backbone, BATCH)
 
@@ -82,14 +87,29 @@ def main() -> None:
     checksum = float(jnp.sum(dets))  # forces the dependent chain
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
+    return BATCH * seq_len * ITERS / dt
 
-    fps = BATCH * SEQ_LEN * ITERS / dt
-    print(json.dumps({
+
+def main() -> None:
+    import sys
+
+    fps = _measure("gen1", (240, 304), SEQ_LEN, 5)
+    print(f"gen1: {fps:.1f} f/s", file=sys.stderr, flush=True)
+    out = {
         "metric": "rvt_b_gen1_streaming_inference_throughput_bf16",
         "value": round(fps, 2),
         "unit": "event-frames/s/chip",
         "vs_baseline": round(fps / TARGET_FPS, 4),
-    }))
+    }
+    # secondary surface: gen4 (1 Mpx ds2, 384x640 model, 5-frame window).
+    # Never let it take down the primary metric line (the remote compile
+    # helper occasionally returns transient 500s/SIGKILLs).
+    try:
+        out["gen4_streaming_fps"] = round(
+            _measure("gen4", (360, 640), 5, 2), 2)
+    except Exception as e:  # pragma: no cover - transient-compile guard
+        out["gen4_error"] = type(e).__name__
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
