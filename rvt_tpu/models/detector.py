@@ -249,12 +249,26 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                 ds_ln_params=ln_prm, ds_eps=cfg.downsample.norm_eps,
                 dense=mode == "dense",
                 interpret=interpret)
+        elif mode == "split":
+            # gen4-stage-1-class stages (512k-1M elements/image): one
+            # batched attention-pair launch over all T*B frames (the
+            # downsample LN runs inside it) + the whole-window LSTM-scan
+            # kernel with the carry in VMEM.
+            h_seq, hT, cT = split_stage_scan(
+                x_seq,
+                attention_block_params(sp["block0"]["att_window"], True),
+                attention_block_params(sp["block0"]["att_grid"], False),
+                lw, lb, h0, c0,
+                heads=C // cfg.attention.dim_head,
+                dim_head=cfg.attention.dim_head,
+                part=tuple(cfg.attention.partition_size),
+                eps=cfg.attention.norm_eps,
+                ds_ln_params=ln_prm, ds_eps=cfg.downsample.norm_eps,
+                interpret=interpret)
         else:
-            # gen4-stage-1-class and oversized stages: downsample LN in
-            # XLA (same math as in-kernel), then either the 'split' mode
-            # (one batched attention-pair launch over all T*B frames +
-            # whole-window LSTM-scan kernel) or, beyond 1M elements, a
-            # per-step lax.scan over the fused pair/cell kernels.
+            # oversized stages (>1M elements/image): downsample LN in
+            # XLA (same math as in-kernel), then a per-step lax.scan
+            # over the fused pair/cell kernels.
             s, b_ = [a.astype(jnp.float32) for a in ln_prm]
             xf = x_seq.astype(jnp.float32)
             mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -262,33 +276,21 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                 jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
             x_seq = ((xf - mu) * jax.lax.rsqrt(var + cfg.downsample.norm_eps)
                      * s + b_).astype(dtype)
-            if mode == "split":
-                h_seq, hT, cT = split_stage_scan(
-                    x_seq,
-                    attention_block_params(sp["block0"]["att_window"], True),
-                    attention_block_params(sp["block0"]["att_grid"], False),
-                    lw, lb, h0, c0,
-                    heads=C // cfg.attention.dim_head,
-                    dim_head=cfg.attention.dim_head,
-                    part=tuple(cfg.attention.partition_size),
-                    eps=cfg.attention.norm_eps,
-                    interpret=interpret)
-            else:
-                pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
-                                           skip_first_norm=True, dtype=dtype,
-                                           fused=True)
-                cell = DWSConvLSTM2d(dim=C, cfg=cfg.lstm, dtype=dtype,
-                                     fused=True)
-                pvars = {"params": sp["block0"]}
-                cvars = {"params": {"conv1x1": lp}}
+            pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
+                                       skip_first_norm=True, dtype=dtype,
+                                       fused=True)
+            cell = DWSConvLSTM2d(dim=C, cfg=cfg.lstm, dtype=dtype,
+                                 fused=True)
+            pvars = {"params": sp["block0"]}
+            cvars = {"params": {"conv1x1": lp}}
 
-                def stage_step(carry, x_t, pair=pair, cell=cell,
-                               pvars=pvars, cvars=cvars):
-                    y = pair.apply(pvars, x_t, True)
-                    h_t, c_t = cell.apply(cvars, y, carry, True)
-                    return (h_t, c_t), h_t.astype(dtype)
+            def stage_step(carry, x_t, pair=pair, cell=cell,
+                           pvars=pvars, cvars=cvars):
+                y = pair.apply(pvars, x_t, True)
+                h_t, c_t = cell.apply(cvars, y, carry, True)
+                return (h_t, c_t), h_t.astype(dtype)
 
-                (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
+            (hT, cT), h_seq = jax.lax.scan(stage_step, (h0, c0), x_seq)
 
         states_out.append((hT, cT))
         feats[idx + 1] = h_seq

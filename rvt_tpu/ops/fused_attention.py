@@ -270,10 +270,14 @@ def _one_block(R: Array, prm: Sequence[Array], *, window_mode: bool,
     return R + y.astype(jnp.float32)
 
 
-def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps, dense):
+def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps, dense,
+                   ds_ln, ds_eps):
     """blocks: sequence of (window_mode, skip_first_norm, n_params).
     With ``dense`` the last two param refs are the window/grid partition
-    bias masks and the image block is [T, C]."""
+    bias masks and the image block is [T, C]. With ``ds_ln`` the first
+    two param refs are the downsample LayerNorm scale/bias, applied
+    in-kernel (saves a standalone XLA LN pass over the whole window in
+    the split serving mode — the C-lane reduce fuses badly out there)."""
     x_ref = refs[0]
     o_ref = refs[-1]
     if dense:
@@ -282,8 +286,14 @@ def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps, dense):
     else:
         bias_w = bias_g = None
         prms = refs[1:-1]
-    R = x_ref[0].astype(jnp.float32)
-    x_bf16 = x_ref[0].astype(jnp.bfloat16)
+    if ds_ln:
+        x_bf16 = _layer_norm_f32(x_ref[0].astype(jnp.float32),
+                                 prms[0][...], prms[1][...], ds_eps)
+        prms = prms[2:]
+        R = x_bf16.astype(jnp.float32)
+    else:
+        x_bf16 = x_ref[0].astype(jnp.bfloat16)
+        R = x_ref[0].astype(jnp.float32)
     off = 0
     for window_mode, sfn, n in blocks:
         R = _one_block(R, prms[off:off + n], window_mode=window_mode,
@@ -299,12 +309,14 @@ def _blocks_kernel(*refs, blocks, H, W, C, heads, dh, part, eps, dense):
 @functools.partial(
     jax.jit,
     static_argnames=("blocks", "heads", "dim_head", "part", "eps",
-                     "dense", "interpret"))
+                     "dense", "ds_eps", "interpret"))
 def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
                            blocks: Tuple[Tuple[bool, bool, int], ...],
                            heads: int, dim_head: int,
                            part: Tuple[int, int], eps: float,
                            dense: bool = False,
+                           ds_ln_params: Tuple[Array, ...] = (),
+                           ds_eps: float = 1e-5,
                            interpret: bool = False) -> Array:
     """Run one or more PartitionAttention sub-blocks as a single fused
     kernel. x: [B, H, W, C] (bf16 or f32); params: concatenated per-block
@@ -312,11 +324,16 @@ def fused_attention_blocks(x: Array, params: Tuple[Array, ...], *,
     stream [B, H, W, C] (the XLA path's promoted dtype).
 
     ``dense`` selects the masked-dense small-geometry path (tokens stay
-    [T, C] in-kernel, partition structure via additive masks)."""
+    [T, C] in-kernel, partition structure via additive masks).
+    ``ds_ln_params`` = (scale, bias): the preceding downsample conv's
+    LayerNorm runs in-kernel on the raw conv output (blocks[0] must then
+    have skip_first_norm=True)."""
     B, H, W, C = x.shape
     kernel = functools.partial(
         _blocks_kernel, blocks=blocks, H=H, W=W, C=C, heads=heads,
-        dh=dim_head, part=part, eps=eps, dense=dense)
+        dh=dim_head, part=part, eps=eps, dense=dense,
+        ds_ln=bool(ds_ln_params), ds_eps=ds_eps)
+    params = tuple(ds_ln_params) + tuple(params)
     extra = ((partition_bias(H, W, part, True),
               partition_bias(H, W, part, False)) if dense else ())
     if dense:
@@ -517,6 +534,8 @@ def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
                          dim_head: int, part: Tuple[int, int],
                          skip_first_norm: bool, eps: float,
                          dense: bool = False,
+                         ds_ln_params: Tuple[Array, ...] = (),
+                         ds_eps: float = 1e-5,
                          interpret: bool = False) -> Array:
     """Window attention followed by grid attention (one MaxViT block).
 
@@ -524,7 +543,8 @@ def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
     fit the 32 MB scoped-vmem cap together (stage 4's paired C=512
     weight set is ~12.6 MB bf16 + ~8 MB activations — it pairs since the
     cap was raised from the 16 MB default); otherwise two single-block
-    kernels."""
+    kernels. ``ds_ln_params``: optional downsample-LN (scale, bias) run
+    in-kernel on the raw conv output (requires skip_first_norm)."""
     C = x.shape[-1]
     per_image = x.shape[1] * x.shape[2] * C
     weight_bytes = 2 * 2 * (C * 3 * C + C * C + 8 * C * C)
@@ -539,12 +559,12 @@ def fused_attention_pair(x: Array, params_window: Tuple[Array, ...],
         return fused_attention_blocks(
             x, params_window + params_grid, blocks=blocks, heads=heads,
             dim_head=dim_head, part=part, eps=eps, dense=dense,
-            interpret=interpret)
+            ds_ln_params=ds_ln_params, ds_eps=ds_eps, interpret=interpret)
     n_win = _N_PARAMS_SFN if skip_first_norm else _N_PARAMS
     y = fused_attention_blocks(
         x, params_window, blocks=((True, skip_first_norm, n_win),),
         heads=heads, dim_head=dim_head, part=part, eps=eps, dense=dense,
-        interpret=interpret)
+        ds_ln_params=ds_ln_params, ds_eps=ds_eps, interpret=interpret)
     return fused_attention_blocks(
         y, params_grid, blocks=((False, False, _N_PARAMS),),
         heads=heads, dim_head=dim_head, part=part, eps=eps, dense=dense,

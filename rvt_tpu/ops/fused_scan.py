@@ -48,6 +48,14 @@ Array = jax.Array
 _CHUNK_ELEMS = 512 * 1024
 _CHUNK_TARGET = 4 * 2 ** 20
 
+# fused_lstm_scan row-slab size (elements per grid block). 512k keeps
+# gen4 stage 1 at 2 slabs/image (grid 8*2*5 = 80 programs vs 320 at the
+# 128k first tried — program-dispatch overhead dominated); the measured
+# stack at a 491k slab is 53.1 MB (f32 mix accumulator + gate tensors),
+# under the 64 MB scoped-vmem cap below. Module-level so tests can force
+# the slab split at tiny geometries.
+_SLAB_ELEMS = 512 * 1024
+
 
 def _stage_scan_kernel(*refs, blocks, H, W, C, heads, dh, part, eps,
                        ds_ln, ds_eps, dense):
@@ -266,7 +274,7 @@ def fused_lstm_scan(x_seq: Array, lstm_w: Array, lstm_b: Array, h0: Array,
     T, B, H, W, C = x_seq.shape
     rows_split = 1
     while (H % (rows_split * 2) == 0
-           and (H // rows_split) * W * C > 128 * 1024):
+           and (H // rows_split) * W * C > _SLAB_ELEMS):
         rows_split *= 2
     Hs = H // rows_split
     seq = pl.BlockSpec((1, 1, Hs, W, C), lambda b, s, t: (t, b, s, 0, 0),
@@ -285,27 +293,33 @@ def fused_lstm_scan(x_seq: Array, lstm_w: Array, lstm_b: Array, h0: Array,
                    jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((Hs, W, C), jnp.float32),
                         pltpu.VMEM((Hs, W, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x_seq, lstm_w, lstm_b, h0, c0)
 
 
-def split_stage_scan(x_seq_normed: Array, params_window, params_grid,
+def split_stage_scan(x_seq: Array, params_window, params_grid,
                      lstm_w: Array, lstm_b: Array, h0: Array, c0: Array, *,
                      heads: int, dim_head: int, part: Tuple[int, int],
-                     eps: float, interpret: bool = False
+                     eps: float, ds_ln_params: Tuple[Array, ...] = (),
+                     ds_eps: float = 1e-5, interpret: bool = False
                      ) -> Tuple[Array, Array, Array]:
     """'split' serving mode for stages beyond the one-kernel envelope
     (gen4 stage 1): the attention pair — which has no time recurrence —
     runs as one batched kernel launch over all T*B frames (weights staged
     once per launch), then ``fused_lstm_scan`` runs the recurrence with
-    the carry in VMEM. x_seq_normed: [T, B, H, W, C] bf16, downsample LN
-    already applied (the pair runs skip_first_norm=True)."""
+    the carry in VMEM. x_seq: [T, B, H, W, C] bf16; with ``ds_ln_params``
+    it is the raw downsample-conv output and the LN runs inside the pair
+    kernel, else it must already be normed (the pair runs
+    skip_first_norm=True either way)."""
     from rvt_tpu.ops.fused_attention import fused_attention_pair
 
-    T, B, H, W, C = x_seq_normed.shape
+    T, B, H, W, C = x_seq.shape
     y = fused_attention_pair(
-        x_seq_normed.reshape(T * B, H, W, C), params_window, params_grid,
+        x_seq.reshape(T * B, H, W, C), params_window, params_grid,
         heads=heads, dim_head=dim_head, part=part, skip_first_norm=True,
-        eps=eps, interpret=interpret)
+        eps=eps, ds_ln_params=ds_ln_params, ds_eps=ds_eps,
+        interpret=interpret)
     return fused_lstm_scan(y.reshape(T, B, H, W, C).astype(jnp.bfloat16),
                            lstm_w, lstm_b, h0, c0, interpret=interpret)

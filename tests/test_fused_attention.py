@@ -334,13 +334,17 @@ def test_stage_scan_envelope_gen4_stage1():
 
 
 @pytest.mark.parametrize("geom", [(16, 20, 64), (64, 64, 64)])
-def test_fused_lstm_scan_matches_per_step_cell(geom):
+def test_fused_lstm_scan_matches_per_step_cell(geom, monkeypatch):
     """The whole-window LSTM-scan kernel (split serving mode) must match
     per-step cell math; the larger geometry forces the row-slab split
-    (Hs*W*C > 128k elements per block)."""
+    (the slab threshold is monkeypatched below its Hs*W*C)."""
+    from rvt_tpu.ops import fused_scan
     from rvt_tpu.ops.fused_scan import fused_lstm_scan
 
     H, W, C = geom
+    if H * W * C > 128 * 1024:
+        monkeypatch.setattr(fused_scan, "_SLAB_ELEMS", 128 * 1024)
+        fused_lstm_scan.clear_cache()
     T, B = 3, 2
     rng = np.random.RandomState(0)
     x_seq = jnp.asarray(rng.randn(T, B, H, W, C) * 0.5, jnp.bfloat16)
@@ -365,3 +369,64 @@ def test_fused_lstm_scan_matches_per_step_cell(geom):
         assert d < 2e-2, (t, d)
     np.testing.assert_allclose(np.asarray(hT), np.asarray(h_ref), atol=2e-2)
     np.testing.assert_allclose(np.asarray(cT), np.asarray(c_ref), atol=4e-2)
+    if H * W * C > 128 * 1024:
+        fused_lstm_scan.clear_cache()  # drop the patched-slab compilation
+
+
+def test_split_stage_scan_in_kernel_ln_matches_module_path():
+    """split_stage_scan with ds_ln_params (raw downsample-conv output in,
+    LN inside the batched pair kernel) must match XLA LN + per-step
+    module pair + cell math — the gen4 stage-1 serving path."""
+    from rvt_tpu.ops.fused_attention import attention_block_params
+    from rvt_tpu.ops.fused_scan import split_stage_scan
+
+    H, W, C, dh, part = 16, 20, 64, 32, (8, 10)
+    T, B = 3, 2
+    cfg = AttentionConfig(partition_size=part, dim_head=dh)
+    mod = MaxVitAttentionPair(dim=C, cfg=cfg, skip_first_norm=True,
+                              dtype=jnp.bfloat16, fused=False)
+    rng = np.random.RandomState(0)
+    x1 = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    variables = mod.init(jax.random.PRNGKey(1), x1)
+    p = variables["params"]
+    x_raw = jnp.asarray(rng.randn(T, B, H, W, C) * 2.0, jnp.bfloat16)
+    lw = jnp.asarray(rng.randn(2 * C, 4 * C) * 0.05, jnp.bfloat16)
+    lb = jnp.asarray(rng.randn(1, 4 * C) * 0.05, jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.1, jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+    ln_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+    eps = 1e-5
+
+    h_seq, hT, cT = split_stage_scan(
+        x_raw, attention_block_params(p["att_window"], True),
+        attention_block_params(p["att_grid"], False), lw, lb, h0, c0,
+        heads=C // dh, dim_head=dh, part=part, eps=cfg.norm_eps,
+        ds_ln_params=(ln_s, ln_b), ds_eps=eps, interpret=True)
+
+    # oracle: XLA LN -> module pair -> cell, per step
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    x_n = ((xf - mu) * jax.lax.rsqrt(var + eps)
+           * ln_s.astype(jnp.float32).reshape(1, 1, 1, 1, C)
+           + ln_b.astype(jnp.float32).reshape(1, 1, 1, 1, C)
+           ).astype(jnp.bfloat16)
+    h_ref, c_ref = h0, c0
+    for t in range(T):
+        a = mod.apply(variables, x_n[t])
+        xh = jnp.concatenate([a.astype(jnp.bfloat16),
+                              h_ref.astype(jnp.bfloat16)], -1)
+        mix = (jnp.einsum("bhwc,cd->bhwd", xh, lw).astype(jnp.bfloat16)
+               + lb.reshape(1, 1, 1, -1))
+        g = jax.nn.sigmoid(mix[..., :3 * C].astype(jnp.float32)
+                           ).astype(jnp.bfloat16).astype(jnp.float32)
+        ci = jnp.tanh(mix[..., 3 * C:].astype(jnp.float32)
+                      ).astype(jnp.bfloat16).astype(jnp.float32)
+        c_ref = g[..., :C] * c_ref + g[..., C:2 * C] * ci
+        h_ref = g[..., 2 * C:] * jnp.tanh(c_ref)
+        d = float(jnp.max(jnp.abs(h_seq[t].astype(jnp.float32) - h_ref)))
+        assert d < 5e-2, (t, d)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(h_ref), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(c_ref), atol=1e-1)
