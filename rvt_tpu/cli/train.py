@@ -48,6 +48,12 @@ def main() -> None:
     ap.add_argument("--log_every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dp_size", type=int, default=-1)
+    ap.add_argument("--num_workers", type=int, default=0,
+                    help="input-pipeline fetch workers (reference "
+                         "hardware.num_workers, modules/data/genx.py:92); "
+                         "0 = serial")
+    ap.add_argument("--loader_mode", choices=["thread", "process"],
+                    default="thread")
     ap.add_argument("--multihost", action="store_true",
                     help="initialise jax.distributed (multi-host DCN+ICI "
                          "training; requires coordinator env vars)")
@@ -127,6 +133,12 @@ def main() -> None:
                 RandomAccessScheduler(rnd_views, n_random, seed=args.seed + 1,
                                       augment_fn=rnd_augment))
 
+    if args.num_workers:
+        from rvt_tpu.data.loader import ParallelBatchLoader
+
+        scheduler = ParallelBatchLoader(scheduler, args.num_workers,
+                                        mode=args.loader_mode)
+
     eval_fn = None
     if args.val_every:
         import jax
@@ -139,8 +151,11 @@ def main() -> None:
             sched = EvalStreamScheduler(val_streams, cfg.batch_size.eval,
                                         shard_index=jax.process_index(),
                                         num_shards=jax.process_count())
+            from rvt_tpu.data.loader import make_loader
+            batches = make_loader(sched, args.num_workers,
+                                  mode=args.loader_mode)
             return run_streaming_eval(trainer.model, variables, cfg,
-                                      iter(sched), cfg.batch_size.eval)
+                                      iter(batches), cfg.batch_size.eval)
 
     metrics = trainer.fit(iter(scheduler), eval_fn=eval_fn)
     print({k: round(v, 5) for k, v in metrics.items()})

@@ -26,6 +26,11 @@ def main() -> None:
                     help="write pred-vs-GT panel PNGs here "
                          "(reference callbacks/detection.py:32-100)")
     ap.add_argument("--viz_every", type=int, default=50)
+    ap.add_argument("--num_workers", type=int, default=0,
+                    help="parallel input-pipeline fetch workers "
+                         "(data/loader.py); 0 = serial")
+    ap.add_argument("--loader_mode", choices=["thread", "process"],
+                    default="thread")
     ap.add_argument("--serve_fused", action="store_true",
                     help="bf16 compute + fused Pallas serving kernels + "
                          "s2d stem (the bench.py production path; ~1.8x "
@@ -72,6 +77,11 @@ def main() -> None:
     split = "test" if args.use_test_set else "val"
     streams = build_streams(args.data_dir, split, cfg, train=False)
     sched = EvalStreamScheduler(streams, args.batch_size)
+    if args.num_workers:
+        from rvt_tpu.data.loader import ParallelBatchLoader
+
+        sched = ParallelBatchLoader(sched, args.num_workers,
+                                    mode=args.loader_mode)
     metrics = run_streaming_eval(model, variables, cfg, iter(sched),
                                  args.batch_size, viz_dir=args.viz_dir,
                                  viz_every=args.viz_every)

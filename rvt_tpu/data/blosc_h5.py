@@ -120,6 +120,8 @@ class BloscChunkDataset:
     format stores one frame per chunk: chunks=(1, C, H, W))."""
 
     def __init__(self, ds):
+        import threading
+
         self.ds = ds
         self.shape: Tuple[int, ...] = ds.shape
         self.dtype = ds.dtype
@@ -129,13 +131,19 @@ class BloscChunkDataset:
         self.chunk0 = chunks[0]
         self._frame_nbytes = int(np.prod(ds.shape[1:])) * ds.dtype.itemsize
         self._zeros = (0,) * (len(ds.shape) - 1)
+        # concurrent read_direct_chunk calls on one dataset race in HDF5's
+        # metadata cache ("Target already protected") — serialize the raw
+        # IO; the blosc decompress below stays parallel (ctypes, GIL
+        # released), which is the expensive part.
+        self._io_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.shape[0]
 
     def _read_chunk(self, chunk_idx: int) -> np.ndarray:
-        _, raw = self.ds.id.read_direct_chunk(
-            (chunk_idx * self.chunk0,) + self._zeros)
+        with self._io_lock:
+            _, raw = self.ds.id.read_direct_chunk(
+                (chunk_idx * self.chunk0,) + self._zeros)
         flat = decompress_chunk(raw, self.chunk0 * self._frame_nbytes)
         return flat.view(self.dtype).reshape((self.chunk0,) + self.shape[1:])
 
@@ -159,10 +167,20 @@ class BloscChunkDataset:
         return out
 
 
-def open_data_dataset(h5_file, name: str = "data"):
+def open_data_dataset(h5_file, name: str = "data",
+                      prefer_raw_chunks: bool = False):
     """Return an axis-0 sliceable dataset view: the plain h5py dataset when
-    its filters are readable, else the ctypes blosc fallback."""
+    its filters are readable, else the ctypes blosc fallback.
+
+    ``prefer_raw_chunks``: use the ctypes chunk reader even when the HDF5
+    filter plugin is available. The plugin decompresses inside the HDF5
+    read call, i.e. under h5py's global lock (``phil``) — concurrent
+    reader threads serialize on the decode. The chunk reader only holds
+    the lock for ``read_direct_chunk`` (raw IO) and decompresses through
+    ctypes with the GIL released, so thread-mode loaders
+    (data/loader.py) scale with cores. Same bytes either way
+    (tests/test_blosc.py)."""
     ds = h5_file[name]
-    if dataset_uses_blosc(ds) and not register_plugin():
+    if dataset_uses_blosc(ds) and (prefer_raw_chunks or not register_plugin()):
         return BloscChunkDataset(ds)
     return ds

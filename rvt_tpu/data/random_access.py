@@ -21,7 +21,7 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 from rvt_tpu.data.sequence import RandomAccessView
-from rvt_tpu.data.streaming import TrainStreamScheduler, _stack
+from rvt_tpu.data.streaming import TrainStreamScheduler, WindowPlan, _stack
 from rvt_tpu.data.types import Batch
 
 
@@ -67,7 +67,11 @@ class RandomAccessScheduler:
             w = class_frequency_weights(self.views)
             self.weights = w / w.sum()
 
-    def __iter__(self) -> Iterator[Batch]:
+    def plan_batches(self) -> Iterator[List[WindowPlan]]:
+        """Deterministic plan stream (sampling + augment parameter draws);
+        ``fetch`` is pure, so batches are identical whether fetched serially
+        or by a worker pool (data/loader.py). Input-dependent augmentation
+        randomness (zoom-in GT-box choice) is delegated to a per-plan seed."""
         n = len(self.index)
         while True:
             if self.weights is not None:
@@ -75,19 +79,29 @@ class RandomAccessScheduler:
                                         p=self.weights)
             else:
                 picks = self.rng.randint(0, n, size=self.batch_size)
-            samples = []
+            plans = []
             for pick in picks:
                 vi, i = self.index[int(pick)]
-                s = self.views[vi][i]
-                s = dict(s)
-                s["is_first_sample"] = np.asarray(True)  # reset every batch
+                state = seed = None
                 if self.augment_fn is not None:
                     # random mode: re-randomise per sample (augmentor.py:44-56)
                     state = self.augment_fn.sample_state(self.py_rng,
                                                          allow_zoom_in=True)
-                    s = self.augment_fn.apply(s, state, self.py_rng)
-                samples.append(s)
-            yield _stack(samples)
+                    seed = self.py_rng.getrandbits(48)
+                plans.append(WindowPlan(vi, i, state, seed))
+            yield plans
+
+    def fetch(self, plan: WindowPlan) -> dict:
+        s = dict(self.views[plan.stream_idx][plan.window_idx])
+        s["is_first_sample"] = np.asarray(True)  # reset every batch
+        if self.augment_fn is not None and plan.aug_state is not None:
+            s = self.augment_fn.apply(s, plan.aug_state,
+                                      random.Random(plan.aug_seed))
+        return s
+
+    def __iter__(self) -> Iterator[Batch]:
+        for plans in self.plan_batches():
+            yield _stack([self.fetch(p) for p in plans])
 
 
 class MixedScheduler:
@@ -108,20 +122,22 @@ class MixedScheduler:
     def batch_size(self) -> int:
         return self.stream.batch_size + self.random.batch_size
 
+    def plan_batches(self) -> Iterator[List[WindowPlan]]:
+        """Zip the sub-schedulers' plans; ``source`` routes fetch back to
+        the owning scheduler (stream lanes first, then random lanes —
+        merge order of merge_mixed_batches)."""
+        from dataclasses import replace
+
+        for sp, rp in zip(self.stream.plan_batches(),
+                          self.random.plan_batches()):
+            yield sp + [replace(p, source=1) for p in rp]
+
+    def fetch(self, plan: WindowPlan) -> dict:
+        return (self.random if plan.source else self.stream).fetch(plan)
+
     def __iter__(self) -> Iterator[Batch]:
-        s_it, r_it = iter(self.stream), iter(self.random)
-        while True:
-            bs = next(s_it)
-            br = next(r_it)
-            yield Batch(
-                ev_repr=np.concatenate([bs.ev_repr, br.ev_repr]),
-                labels=np.concatenate([bs.labels, br.labels]),
-                label_mask=np.concatenate([bs.label_mask, br.label_mask]),
-                frame_valid=np.concatenate([bs.frame_valid, br.frame_valid]),
-                is_first_sample=np.concatenate([bs.is_first_sample,
-                                                br.is_first_sample]),
-                is_padded=np.concatenate([bs.is_padded, br.is_padded]),
-            )
+        for plans in self.plan_batches():
+            yield _stack([self.fetch(p) for p in plans])
 
 
 def split_batch_size(total: int, w_stream: float = 1.0, w_random: float = 1.0):

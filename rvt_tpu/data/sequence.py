@@ -21,6 +21,7 @@ TPU-first deltas vs the reference readers:
 """
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -52,10 +53,14 @@ class Recording:
 
     def __init__(self, path: Path, repr_name: str, original_hw: Tuple[int, int],
                  downsample_by_factor_2: bool = False,
-                 max_labels_per_frame: int = 48):
+                 max_labels_per_frame: int = 48,
+                 prefer_raw_chunks: bool = False):
         assert h5py is not None, "h5py required for the HDF5 data layer"
         self.path = Path(path)
         self.max_labels = max_labels_per_frame
+        # decode blosc chunks outside h5py's global lock so threaded
+        # loaders scale (see blosc_h5.open_data_dataset)
+        self.prefer_raw_chunks = prefer_raw_chunks
         self.ev_file = _ev_repr_file(self.path, repr_name, downsample_by_factor_2)
         assert self.ev_file.exists(), self.ev_file
 
@@ -72,6 +77,8 @@ class Recording:
             int(r): i for i, r in enumerate(self.objframe_idx_2_repr_idx)}
 
         self._h5: Optional["h5py.File"] = None
+        self._data = None
+        self._open_lock = threading.Lock()
         with h5py.File(str(self.ev_file), "r") as f:
             ds = f["data"]
             self.num_ev_repr = ds.shape[0]
@@ -81,9 +88,13 @@ class Recording:
     # -- event tensors ------------------------------------------------------
 
     def _handle(self):
-        if self._h5 is None:
-            self._h5 = h5py.File(str(self.ev_file), "r")
-            self._data = blosc_h5.open_data_dataset(self._h5)
+        if self._data is None:
+            with self._open_lock:  # threaded loaders race the lazy open
+                if self._data is None:
+                    h5 = h5py.File(str(self.ev_file), "r")
+                    self._data = blosc_h5.open_data_dataset(
+                        h5, prefer_raw_chunks=self.prefer_raw_chunks)
+                    self._h5 = h5
         return self._data
 
     def read_ev_repr(self, start: int, end: int) -> np.ndarray:
@@ -95,6 +106,19 @@ class Recording:
             self._h5.close()
             self._h5 = None
             self._data = None
+
+    # h5py handles and locks cannot cross process boundaries; drop them on
+    # pickle, reopen lazily in the receiving process (loader.py process mode)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_h5"] = None
+        state["_data"] = None
+        del state["_open_lock"]
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._open_lock = threading.Lock()
 
     # -- labels -------------------------------------------------------------
 

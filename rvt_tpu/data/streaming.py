@@ -16,12 +16,36 @@ worker id — cleaner than the reference's worker-keyed RNNStates registry
 from __future__ import annotations
 
 import random
-from typing import Iterator, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 from rvt_tpu.data.sequence import StreamView
 from rvt_tpu.data.types import Batch
+
+
+@dataclass(frozen=True)
+class WindowPlan:
+    """One lane's window for one batch, fully determined ahead of IO.
+
+    The schedulers split batch production into a cheap deterministic *plan*
+    stream (pure index bookkeeping, this type) and a *fetch* step (HDF5
+    read + augmentation) so fetches can run in a worker pool
+    (data/loader.py) while batch order and contents stay bit-identical to
+    the serial path. Replaces the reference's coupling of stream state to
+    DataLoader worker processes (stream_concat_datapipe.py:62-103).
+
+    ``window_idx == -1`` denotes a fully-padded fill window (eval tail,
+    stream_sharded_datapipe.py:49-67). ``aug_seed`` seeds input-dependent
+    augmentation draws (random-mode zoom-in box choice) so fetch stays
+    pure. ``source`` routes between sub-schedulers (MixedScheduler).
+    """
+    stream_idx: int
+    window_idx: int
+    aug_state: Any = None
+    aug_seed: Optional[int] = None
+    source: int = 0
 
 
 def _stack(dicts: Sequence[dict], worker_id: int = 0) -> Batch:
@@ -57,38 +81,51 @@ class TrainStreamScheduler:
         self._cur: List[Optional[Iterator]] = [None] * batch_size
         self._augment_state = [None] * batch_size
 
-    def _next_view_iter(self, lane: int) -> Iterator:
+    def _next_view_iter(self, lane: int):
         if not self._orders[lane]:
             order = list(range(len(self.streams)))
             self._rngs[lane].shuffle(order)
             self._orders[lane] = order
-        view = self.streams[self._orders[lane].pop()]
+        view_idx = self._orders[lane].pop()
         if self.augment_fn is not None:
             # re-randomize augmentation once per stream
             # (RandAugmentIterDataPipe, sequence_for_streaming.py:205-208)
             self._augment_state[lane] = self.augment_fn.sample_state(
                 self._rngs[lane], allow_zoom_in=False)
-        return iter(range(len(view))), view
+        return iter(range(len(self.streams[view_idx]))), view_idx
 
-    def __iter__(self) -> Iterator[Batch]:
+    def plan_batches(self) -> Iterator[List[WindowPlan]]:
+        """Deterministic plan stream: which (stream, window, augmentation)
+        each lane draws next. All randomness (per-lane permutations,
+        per-stream augment re-rolls) happens here; ``fetch`` is pure."""
         iters = [None] * self.batch_size
-        views = [None] * self.batch_size
+        view_idx = [0] * self.batch_size
         while True:
-            samples = []
+            plans = []
             for lane in range(self.batch_size):
                 while True:
                     if iters[lane] is None:
-                        iters[lane], views[lane] = self._next_view_iter(lane)
+                        iters[lane], view_idx[lane] = self._next_view_iter(lane)
                     try:
                         idx = next(iters[lane])
                         break
                     except StopIteration:
                         iters[lane] = None
-                sample = views[lane][idx]
-                if self.augment_fn is not None:
-                    sample = self.augment_fn.apply(sample, self._augment_state[lane])
-                samples.append(sample)
-            yield _stack(samples)
+                plans.append(WindowPlan(view_idx[lane], idx,
+                                        self._augment_state[lane]))
+            yield plans
+
+    def fetch(self, plan: WindowPlan) -> dict:
+        """IO + augmentation for one plan — pure in the plan (safe to run
+        in any worker, in any order)."""
+        sample = self.streams[plan.stream_idx][plan.window_idx]
+        if self.augment_fn is not None and plan.aug_state is not None:
+            sample = self.augment_fn.apply(sample, plan.aug_state)
+        return sample
+
+    def __iter__(self) -> Iterator[Batch]:
+        for plans in self.plan_batches():
+            yield _stack([self.fetch(p) for p in plans])
 
 
 class EvalStreamScheduler:
@@ -108,42 +145,46 @@ class EvalStreamScheduler:
                  shard_index: int = 0, num_shards: int = 1):
         assert num_shards >= 1 and 0 <= shard_index < num_shards
         streams = sorted(streams, key=len, reverse=True)
-        shard = streams[shard_index::num_shards]
-        self.lanes: List[List[StreamView]] = [[] for _ in range(batch_size)]
+        self.streams = streams[shard_index::num_shards]
+        # lanes hold indices into self.streams (so WindowPlans can address
+        # them process-independently)
+        self.lanes: List[List[int]] = [[] for _ in range(batch_size)]
         lane_loads = np.zeros(batch_size, np.int64)
-        for view in shard:
+        for si, view in enumerate(self.streams):
             lane = int(lane_loads.argmin())
-            self.lanes[lane].append(view)
+            self.lanes[lane].append(si)
             lane_loads[lane] += len(view)
         self.batch_size = batch_size
-        self.num_batches = int(lane_loads.max()) if len(shard) else 0
+        self.num_batches = int(lane_loads.max()) if self.streams else 0
 
     def __len__(self) -> int:
         return self.num_batches
 
-    def __iter__(self) -> Iterator[Batch]:
-        fill_rec = None
-        for lane_views in self.lanes:
-            if lane_views:
-                fill_rec = lane_views[0].rec
-                break
-        if fill_rec is None:
+    def plan_batches(self) -> Iterator[List[WindowPlan]]:
+        """Deterministic plan stream; fill windows plan as window_idx -1
+        against the first stream's recording."""
+        if not self.streams:
             return
-        seq_len = None
-        iters = []
-        for lane_views in self.lanes:
-            def lane_iter(views=lane_views):
-                for v in views:
-                    for i in range(len(v)):
-                        yield v[i]
-            iters.append(lane_iter())
-            if lane_views:
-                seq_len = lane_views[0].seq_len
-        for _ in range(self.num_batches):
-            samples = []
-            for it in iters:
-                try:
-                    samples.append(next(it))
-                except StopIteration:
-                    samples.append(fill_rec.padded_window(seq_len))
-            yield _stack(samples)
+        for b in range(self.num_batches):
+            plans = []
+            for lane_streams in self.lanes:
+                off = b
+                plan = WindowPlan(0, -1)  # exhausted lane: padded fill
+                for si in lane_streams:
+                    n = len(self.streams[si])
+                    if off < n:
+                        plan = WindowPlan(si, off)
+                        break
+                    off -= n
+                plans.append(plan)
+            yield plans
+
+    def fetch(self, plan: WindowPlan) -> dict:
+        view = self.streams[plan.stream_idx]
+        if plan.window_idx < 0:
+            return view.rec.padded_window(view.seq_len)
+        return view[plan.window_idx]
+
+    def __iter__(self) -> Iterator[Batch]:
+        for plans in self.plan_batches():
+            yield _stack([self.fetch(p) for p in plans])

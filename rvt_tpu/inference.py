@@ -43,7 +43,8 @@ def nearest_downsample2(x: Array) -> Array:
 
 def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
                             use_pallas_voxelizer: Optional[bool] = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            ds2_direct: bool = True):
     """Build a jitted step: (variables, states, events, counts,
     is_first_sample) -> (states, detections, det_valid).
 
@@ -53,12 +54,26 @@ def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
 
     ``use_pallas_voxelizer=None`` picks per backend: the Pallas kernel on
     TPU (~2x the XLA scatter, docs/PERF.md), the XLA scatter elsewhere.
+
+    ``ds2_direct`` (gen4 / downsample_by_factor_2 configs): voxelize
+    straight into the half-resolution grid instead of building the full
+    1 Mpx histogram and then downsampling. The preprocess ds2 trick is
+    nearest-exact with src = 2*dst + 1 (preprocess_dataset.py:467-477),
+    so the downsampled histogram depends only on odd-coordinate events:
+    filter to ``x%2==1 & y%2==1``, halve the coordinates, and scatter into
+    the 360x640 grid — bit-identical by construction (the time-bin
+    normalization uses only ``t``/``counts``, which are untouched; even-
+    coordinate events are retargeted out of range so the voxelizer drops
+    them without compacting the arrays) at ~4x less histogram-grid work.
+    ``False`` keeps the voxelize-then-downsample path (parity oracle,
+    tests/test_ops.py).
     """
     if use_pallas_voxelizer is None:
         use_pallas_voxelizer = jax.default_backend() not in ("cpu", "gpu")
     bins = 10  # stacked_histogram_dt=50_nbins=10 (dataset presets)
     sH, sW = cfg.dataset.resolution_hw
     ds2 = cfg.dataset.downsample_by_factor_2
+    vH, vW = (sH // 2, sW // 2) if (ds2 and ds2_direct) else (sH, sW)
     in_res = cfg.model.backbone.in_res_hw
     pp = cfg.model.postprocess
     num_classes = cfg.model.head.num_classes
@@ -70,15 +85,21 @@ def make_raw_inference_step(model: RVTDetector, cfg: ExperimentConfig,
              t: Array, counts: Array, is_first_sample: Array):
         states = reset_states(states, is_first_sample)
 
+        if ds2 and ds2_direct:
+            odd = (x % 2 == 1) & (y % 2 == 1)
+            # past-the-end x: > vW so both voxelizers drop it (the XLA
+            # scatter drops via flat-index overflow with mode="drop")
+            x = jnp.where(odd, x // 2, 2 * bins * vH * vW)
+            y = jnp.where(odd, y // 2, vH)
         if use_pallas_voxelizer:
             frames = stacked_histogram_pallas_batched(
-                x, y, p, t, counts, bins, sH, sW, interpret=interpret)
+                x, y, p, t, counts, bins, vH, vW, interpret=interpret)
         else:
             frames = jax.vmap(
                 lambda xi, yi, pi, ti, n: stacked_histogram(
-                    xi, yi, pi, ti, n, bins, sH, sW)
+                    xi, yi, pi, ti, n, bins, vH, vW)
             )(x, y, p, t, counts)  # [B, 2*bins, H, W]
-        if ds2:
+        if ds2 and not ds2_direct:
             frames = nearest_downsample2(frames)
         frames = jnp.moveaxis(frames, 1, -1)  # -> NHWC
         H, W = frames.shape[1:3]

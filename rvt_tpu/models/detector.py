@@ -84,7 +84,7 @@ def model_input_hw_c(cfg: ModelConfig) -> Tuple[int, int, int]:
 def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                   init_states: LstmStates, token_mask_seq: Optional[Array] = None,
                   deterministic: bool = True, remat: bool = True,
-                  remat_policy=None,
+                  remat_policy=None, mesh=None,
                   ) -> Tuple[Tuple[Array, ...], LstmStates]:
     """Run the recurrent backbone over a [T, B, H, W, C] window.
 
@@ -93,26 +93,37 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     carry. Only the FPN input stages are stacked over time to bound HBM use.
 
     With ``fused_kernels`` serving configs the whole scan runs as one
-    Pallas stage-scan kernel per stage instead (``fused_scan_backbone``):
-    time loop inside the kernel, carries in VMEM, weights staged once.
+    Pallas stage-scan kernel per stage instead (``fused_scan_backbone``);
+    training configs take per-step custom-VJP Pallas kernels under the
+    scan (``fused_train_scan_backbone``). The Pallas calls do not
+    auto-partition, so their multi-device dispatch is explicit via
+    ``mesh``:
+
+      * ``mesh`` with >1 device: the fused scan runs under ``shard_map``
+        over the mesh's batch axis (the kernels grid per image, so batch
+        sharding is exact; parameter cotangents psum in the transpose).
+        The batch must divide the mesh size, else the XLA path runs.
+      * ``mesh`` with 1 device, or no mesh on a single-device runtime:
+        direct fused call.
+      * no mesh on a multi-device runtime: XLA path (safe fallback — jit
+        auto-partitioning would choke on the Pallas calls).
 
     Returns (features_per_stage, final_states) where features_per_stage is a
     tuple over ``cfg.fpn.in_stages`` of [T, B, h, w, c] arrays.
     """
-    if (deterministic and not remat and token_mask_seq is None
-            and _fused_scan_supported(model)):
-        return fused_scan_backbone(model, variables, ev_seq, init_states)
-    if (not deterministic and token_mask_seq is None
-            and _fused_scan_supported(model) and jax.device_count() == 1):
-        # The custom-VJP Pallas steps do not auto-partition over a mesh;
-        # multi-device data-parallel training takes the XLA path below.
-        # Training with fused kernels: per-stage custom-VJP Pallas steps
-        # (ops/fused_train.py) under lax.scan — BPTT carries and per-step
-        # parameter-cotangent accumulation handled by the scan transpose.
-        # The custom VJP recomputes the forward in-kernel, so the memory
-        # plan is fixed by design and the ``remat`` flag is ignored here.
-        return fused_train_scan_backbone(model, variables, ev_seq,
-                                         init_states)
+    fused_ok = token_mask_seq is None and _fused_scan_supported(model)
+    serving = deterministic and not remat
+    if fused_ok and (serving or not deterministic):
+        # Training with fused kernels: the custom VJP recomputes the
+        # forward in-kernel, so the memory plan is fixed by design and
+        # the ``remat`` flag is ignored on that path.
+        fn = fused_scan_backbone if serving else fused_train_scan_backbone
+        if mesh is not None and mesh.size > 1:
+            if ev_seq.shape[1] % mesh.size == 0:
+                return _shard_fused_scan(fn, model, variables, ev_seq,
+                                         init_states, mesh)
+        elif mesh is not None or jax.device_count() == 1:
+            return fn(model, variables, ev_seq, init_states)
 
     in_stages = model.cfg.fpn.in_stages
 
@@ -144,6 +155,36 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     else:
         final_states, feats = jax.lax.scan(step, init_states, xs)
     return feats, final_states
+
+
+def _shard_fused_scan(fn, model: RVTDetector, variables, ev_seq: Array,
+                      init_states: LstmStates, mesh
+                      ) -> Tuple[Tuple[Array, ...], LstmStates]:
+    """Data-parallel fused backbone scan over the mesh's (first) axis.
+
+    The fused Pallas kernels grid per image, so slicing the batch axis is
+    exact: each device runs the identical whole-window kernels on its
+    batch shard. Parameters enter replicated (spec ``P()``); their
+    gradient cotangents are psummed by the shard_map transpose, which is
+    exactly the DP gradient all-reduce the XLA path gets from jit
+    auto-partitioning (reference: DDP bucket all-reduce, train.py:60-67).
+
+    ``check_vma=False``: Pallas calls carry no varying-manual-axes rule;
+    correctness of the replicated-parameter transpose is covered by
+    tests/test_shard_fused.py gradient-parity on a CPU mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def body(variables, ev_seq, init_states):
+        return fn(model, variables, ev_seq, init_states)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis)),
+        out_specs=(P(None, axis), P(axis)),
+        check_vma=False)(variables, ev_seq, init_states)
 
 
 def _fused_scan_supported(model: RVTDetector) -> bool:

@@ -36,8 +36,8 @@ def _write_panel(path, ev_hwc: np.ndarray, gt, pred, labelmap) -> None:
 def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
                        batches: Iterable[Batch],
                        batch_size: int,
-                       viz_dir=None, viz_every: int = 50
-                       ) -> Optional[Dict[str, float]]:
+                       viz_dir=None, viz_every: int = 50,
+                       mesh=None) -> Optional[Dict[str, float]]:
     """Evaluate over an iterable of stream batches (all same batch size).
 
     Returns the Prophesee COCO metrics dict or None if no labels were seen.
@@ -45,8 +45,11 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
     viz_dir: if set, writes a pred-vs-GT panel PNG for every viz_every-th
     labelled frame (reference DetectionVizCallback image grids,
     callbacks/detection.py:32-100).
+
+    mesh: data-parallel mesh for sharded eval — needed for the fused
+    serving kernels to engage on >1 device (see step.make_eval_step).
     """
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
     evaluator = PropheseeEvaluator(cfg.dataset.name,
                                    cfg.dataset.downsample_by_factor_2)
     states = zero_states(cfg.model.backbone, batch_size)

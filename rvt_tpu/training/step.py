@@ -127,7 +127,11 @@ def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype,
 
 def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
                     optimizer: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
+    """``mesh``: the data-parallel mesh the step will run over. Required
+    for the fused Pallas backbone paths to engage on >1 device (they are
+    dispatched via shard_map, see models/detector.py:scan_backbone);
+    without it a multi-device runtime falls back to the XLA backbone."""
     grid_np, stride_np = head_grid(cfg)
     grid = jnp.asarray(grid_np)
     anchor_strides = jnp.asarray(stride_np)
@@ -146,7 +150,7 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
         # (the backbone has no BN), so the scan body is read-only on them.
         feats, final_states = scan_backbone(
             model, variables, ev_seq, init_states,
-            deterministic=False, remat=True)
+            deterministic=False, remat=True, mesh=mesh)
 
         gathered, frame_idx, gval = gather_labeled_frames(feats, frame_valid, K)
         yolox_labels, yl_mask = gather_labels(labels, label_mask, frame_idx)
@@ -202,7 +206,7 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
 
 
 def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
-                   dtype=None):
+                   dtype=None, mesh=None):
     """Streaming evaluation step: scan, gather labelled frames, detect,
     on-device NMS. Mirrors _val_test_step_impl (modules/detection.py:208-280)
     with stream-mode prediction collection.
@@ -210,7 +214,11 @@ def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
     ``dtype=None`` (default) scans the window in its storage dtype — the
     stem converts uint8 -> compute dtype one step at a time, avoiding a
     full-window f32 materialisation (4x the HBM traffic of the uint8 copy
-    and ~1.5 ms/window on v5e)."""
+    and ~1.5 ms/window on v5e).
+
+    ``mesh``: pass the dp mesh when evaluating sharded over >1 device so
+    the fused serving kernels engage via shard_map (without it, a
+    multi-device runtime takes the XLA backbone — see scan_backbone)."""
     K = cfg.dataset.max_labeled_frames
     pp = cfg.model.postprocess
     num_classes = cfg.model.head.num_classes
@@ -226,7 +234,7 @@ def make_eval_step(model: RVTDetector, cfg: ExperimentConfig,
 
         feats, final_states = scan_backbone(model, variables, ev_seq,
                                             lstm_states, deterministic=True,
-                                            remat=False)
+                                            remat=False, mesh=mesh)
         gathered, frame_idx, gval = gather_labeled_frames(feats, frame_valid, K)
         preds = model.apply(variables, gathered, train=False,
                             method=RVTDetector.forward_detect)

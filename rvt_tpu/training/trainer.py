@@ -66,7 +66,8 @@ class Trainer:
         self.state = init_train_state(self.model, cfg, self.optimizer,
                                       jax.random.PRNGKey(seed))
         self.state = replicate_tree(self.mesh, self.state)
-        self.train_step = make_train_step(self.model, cfg, self.optimizer)
+        self.train_step = make_train_step(self.model, cfg, self.optimizer,
+                                          mesh=self.mesh)
         self.ckpt = CheckpointManager(Path(trainer_cfg.ckpt_dir),
                                       monitor=trainer_cfg.monitor)
         self.logger = MetricsLogger(Path(trainer_cfg.ckpt_dir) / "metrics.jsonl")

@@ -108,3 +108,68 @@ def test_prophesee_evaluator_end_to_end():
     assert m["AP"] > 0.5
     ev.reset_buffer()
     assert not ev.has_data()
+
+
+def _match_times_pointer_walk(all_ts, gt_boxes, dt_boxes, time_tol):
+    """Oracle: the reference protocol's incremental pointer walk
+    (utils/evaluation/prophesee/metrics/coco_eval.py:55-90), kept here
+    test-only to fuzz the vectorized searchsorted implementation."""
+    gt_size, dt_size = len(gt_boxes), len(dt_boxes)
+    windowed_gt, windowed_dt = [], []
+    low_gt = high_gt = low_dt = high_dt = 0
+    for ts in all_ts:
+        while low_gt < gt_size and gt_boxes[low_gt]["t"] < ts:
+            low_gt += 1
+        high_gt = max(low_gt, high_gt)
+        while high_gt < gt_size and gt_boxes[high_gt]["t"] <= ts:
+            high_gt += 1
+        low, high = ts - time_tol, ts + time_tol
+        while low_dt < dt_size and dt_boxes[low_dt]["t"] < low:
+            low_dt += 1
+        high_dt = max(low_dt, high_dt)
+        while high_dt < dt_size and dt_boxes[high_dt]["t"] <= high:
+            high_dt += 1
+        windowed_gt.append(gt_boxes[low_gt:high_gt])
+        windowed_dt.append(dt_boxes[low_dt:high_dt])
+    return windowed_gt, windowed_dt
+
+
+def test_match_times_fuzz_vs_pointer_walk():
+    """Vectorized match_times == the protocol pointer walk on random
+    time-sorted buffers (including duplicate timestamps, empty windows,
+    and boxes outside every window)."""
+    rng = np.random.RandomState(42)
+    for trial in range(50):
+        n_gt = rng.randint(0, 40)
+        n_dt = rng.randint(0, 60)
+        tol = int(rng.choice([1, 10_000, 50_000]))
+        gt = np.zeros(n_gt, BBOX_DTYPE)
+        dt = np.zeros(n_dt, BBOX_DTYPE)
+        # coarse grid -> plenty of duplicate timestamps
+        gt["t"] = np.sort(rng.randint(0, 20, n_gt)) * 25_000
+        dt["t"] = np.sort(rng.randint(0, 20, n_dt)) * 25_000
+        gt["w"] = rng.randint(1, 100, n_gt)
+        dt["w"] = rng.randint(1, 100, n_dt)
+        all_ts = np.unique(gt["t"]) if n_gt else np.zeros(0, np.int64)
+        got_g, got_d = match_times(all_ts, gt, dt, tol)
+        exp_g, exp_d = _match_times_pointer_walk(all_ts, gt, dt, tol)
+        assert len(got_g) == len(exp_g) == len(got_d) == len(exp_d)
+        for a, b in zip(got_g + got_d, exp_g + exp_d):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_filter_boxes_fuzz_mask_semantics():
+    """filter_boxes == the reference mask formula (t > skip, min side,
+    squared diagonal) on random boxes including exact-threshold values."""
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        n = rng.randint(0, 50)
+        b = np.zeros(n, BBOX_DTYPE)
+        b["t"] = rng.randint(0, int(1.2e6), n)
+        b["w"] = rng.choice([5, 10, 12, 20, 21.21, 30, 40], n)
+        b["h"] = rng.choice([5, 10, 12, 20, 21.21, 30, 40], n)
+        out = filter_boxes(b, int(5e5), 30, 10)
+        ref_mask = ((b["t"] > int(5e5))
+                    & (b["w"] ** 2 + b["h"] ** 2 >= 30 ** 2)
+                    & (b["w"] >= 10) & (b["h"] >= 10))
+        np.testing.assert_array_equal(out, b[ref_mask])

@@ -205,6 +205,7 @@ def test_fused_scan_backbone_matches_lax_scan():
     from rvt_tpu.config import preset
     from rvt_tpu.models import RVTDetector, init_detector, zero_states
     from rvt_tpu.models.detector import scan_backbone
+    from rvt_tpu.parallel.mesh import make_mesh
 
     T, B = 3, 2
     cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
@@ -228,7 +229,7 @@ def test_fused_scan_backbone_matches_lax_scan():
     feats_r, st_r = scan_backbone(model_ref, variables, ev, states,
                                   remat=False)
     feats_f, st_f = scan_backbone(model_fused, variables, ev, states,
-                                  remat=False)
+                                  remat=False, mesh=make_mesh(1))
     assert feats_f[0].dtype == jnp.bfloat16  # proves the fused path ran
     for fr, ff in zip(feats_r, feats_f):
         fr = np.asarray(fr, np.float32)
@@ -248,6 +249,7 @@ def test_fused_scan_backbone_s2d_stem_in_kernel():
     from rvt_tpu.config import preset
     from rvt_tpu.models import RVTDetector, init_detector, zero_states
     from rvt_tpu.models.detector import scan_backbone
+    from rvt_tpu.parallel.mesh import make_mesh
     from rvt_tpu.ops.s2d import device_space_to_depth
 
     T, B = 2, 1
@@ -271,7 +273,7 @@ def test_fused_scan_backbone_s2d_stem_in_kernel():
     feats_r, st_r = scan_backbone(model_ref, variables, ev, states,
                                   remat=False)
     feats_f, st_f = scan_backbone(model_fused, variables, ev, states,
-                                  remat=False)
+                                  remat=False, mesh=make_mesh(1))
     assert feats_f[0].dtype == jnp.bfloat16
     for fr, ff in zip(feats_r, feats_f):
         fr = np.asarray(fr, np.float32)

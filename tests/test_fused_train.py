@@ -118,6 +118,7 @@ def test_fused_train_scan_backbone_matches_xla():
     from rvt_tpu.config import preset
     from rvt_tpu.models import RVTDetector, init_detector, zero_states
     from rvt_tpu.models.detector import scan_backbone
+    from rvt_tpu.parallel.mesh import make_mesh
 
     T, B = 3, 2
     cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
@@ -137,7 +138,11 @@ def test_fused_train_scan_backbone_matches_xla():
     def loss(params, model):
         feats, (st) = scan_backbone(
             model, {"params": params}, ev, states, deterministic=False,
-            remat=True)
+            remat=True,
+            # a 1-device mesh opts the fused model into the Pallas train
+            # path on this 8-virtual-device CPU runtime (scan_backbone
+            # falls back to XLA on multi-device runtimes without a mesh)
+            mesh=make_mesh(1) if model is model_fused else None)
         total = 0.0
         nonlocal wgts
         if wgts is None:

@@ -325,3 +325,84 @@ def test_raw_inference_pipeline():
                             jnp.asarray(t), jnp.asarray(n),
                             jnp.zeros((B,), bool))
     assert np.isfinite(np.asarray(dets2)).all()
+
+
+def test_ds2_direct_voxelization_bit_exact():
+    """gen4 ds2 shortcut: voxelize odd-coordinate events straight into the
+    half-res grid == full-res voxelize then nearest-exact downsample
+    (src = 2*dst+1, preprocess_dataset.py:467-477). Bit-exact by
+    construction: time-bin normalization sees the same t/counts, and the
+    count cutoff is per-pixel either way."""
+    from rvt_tpu.ops.voxelization import (stacked_histogram,
+                                          stacked_histogram_pallas_batched)
+
+    rng = np.random.RandomState(3)
+    bins, H, W = 4, 24, 32
+    B, N = 2, 2048
+    n = np.array([1800, 900], np.int32)
+    x = np.zeros((B, N), np.int32)
+    y = np.zeros((B, N), np.int32)
+    p = np.zeros((B, N), np.int32)
+    t = np.zeros((B, N), np.int32)
+    for b in range(B):
+        x[b, :n[b]] = rng.randint(0, W, n[b])
+        y[b, :n[b]] = rng.randint(0, H, n[b])
+        p[b, :n[b]] = rng.randint(0, 2, n[b])
+        t[b, :n[b]] = np.sort(rng.randint(0, 50_000, n[b]))
+    args = tuple(jnp.asarray(a) for a in (x, y, p, t, n))
+
+    full = jax.vmap(lambda xi, yi, pi, ti, c: stacked_histogram(
+        xi, yi, pi, ti, c, bins, H, W))(*args)
+    expected = np.asarray(full)[..., 1::2, 1::2]
+
+    odd = (x % 2 == 1) & (y % 2 == 1)
+    vH, vW = H // 2, W // 2
+    x2 = jnp.asarray(np.where(odd, x // 2, 2 * bins * vH * vW), jnp.int32)
+    y2 = jnp.asarray(np.where(odd, y // 2, vH), jnp.int32)
+    half_xla = jax.vmap(lambda xi, yi, pi, ti, c: stacked_histogram(
+        xi, yi, pi, ti, c, bins, vH, vW))(x2, y2, args[2], args[3], args[4])
+    np.testing.assert_array_equal(np.asarray(half_xla), expected)
+
+    half_pl = stacked_histogram_pallas_batched(
+        x2, y2, args[2], args[3], args[4], bins, vH, vW, chunk=512,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(half_pl), expected)
+
+
+def test_raw_inference_ds2_direct_matches_downsample_path():
+    """End-to-end gen4-style raw step: ds2_direct=True detections ==
+    ds2_direct=False (voxelize full, then downsample) on the same inputs."""
+    from dataclasses import replace as dc_replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.inference import make_raw_inference_step
+    from rvt_tpu.models import init_detector, zero_states
+
+    cfg = preset("gen4", "tiny", resolution_hw=(48, 64), sequence_length=2,
+                 max_labels_per_frame=4)
+    assert cfg.dataset.downsample_by_factor_2
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                     batch_size=1)
+    rng = np.random.RandomState(1)
+    B, N = 1, 1024
+    n = np.array([900], np.int32)
+    x = np.zeros((B, N), np.int32)
+    y = np.zeros((B, N), np.int32)
+    p = np.zeros((B, N), np.int32)
+    t = np.zeros((B, N), np.int32)
+    x[0, :n[0]] = rng.randint(0, 64, n[0])
+    y[0, :n[0]] = rng.randint(0, 48, n[0])
+    p[0, :n[0]] = rng.randint(0, 2, n[0])
+    t[0, :n[0]] = np.sort(rng.randint(0, 50_000, n[0]))
+    inputs = tuple(jnp.asarray(a) for a in (x, y, p, t, n))
+
+    outs = []
+    for direct in (True, False):
+        step = make_raw_inference_step(model, cfg, use_pallas_voxelizer=True,
+                                       interpret=True, ds2_direct=direct)
+        states = zero_states(cfg.model.backbone, B)
+        _, dets, valid = step(variables, states, *inputs,
+                              jnp.ones((B,), bool))
+        outs.append((np.asarray(dets), np.asarray(valid)))
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
