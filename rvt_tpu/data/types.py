@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass
+from typing import Optional
+
 import numpy as np
 
 # Label field order on disk and in Batch.labels (labels.py:13-21)
@@ -34,6 +36,11 @@ class Batch:
     frame_valid:  [B, T] bool — frame has >= 1 label (drives feature gather)
     is_first_sample: [B] bool — lane restarted; reset LSTM states
     is_padded:    [B, T] bool — zero-padded tail frames (stream mode)
+    token_mask:   optional [B, T, H/p, W/p] bool at the stage-1 token grid
+                  (p = stem patch size, storage resolution): True tokens are
+                  replaced by the learned mask token when the model has
+                  enable_masking (reference DataType.TOKEN_MASK,
+                  modules/detection.py:135-138)
     worker_id:    int — producing worker (metadata only; recurrent state is
                   keyed by batch lane, not worker, unlike the reference)
     """
@@ -44,6 +51,7 @@ class Batch:
     frame_valid: np.ndarray
     is_first_sample: np.ndarray
     is_padded: np.ndarray
+    token_mask: Optional[np.ndarray] = None
     worker_id: int = 0
 
     @property

@@ -142,18 +142,18 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
         step = jax.checkpoint(step, policy=remat_policy)
 
     if token_mask_seq is None:
-        token_mask_seq = jnp.zeros(
-            ev_seq.shape[:2] + (ev_seq.shape[2] // model.cfg.backbone.stem_patch_size,
-                                ev_seq.shape[3] // model.cfg.backbone.stem_patch_size),
-            jnp.bool_) if model.cfg.backbone.enable_masking else None
-
-    xs = (ev_seq, token_mask_seq) if token_mask_seq is not None else (ev_seq, None)
-    if token_mask_seq is None:
+        # no mask -> no token replacement (the mask_token param exists but
+        # is unused; reference passes token_masks=None the same way,
+        # modules/detection.py:135-138)
         def step_no_mask(states, x):
             return step(states, (x, None))
         final_states, feats = jax.lax.scan(step_no_mask, init_states, ev_seq)
     else:
-        final_states, feats = jax.lax.scan(step, init_states, xs)
+        # token_mask_seq: [T, B, h, w] bool at the stage-1 token grid
+        # (in_res / stem_patch_size — identical with or without stem_s2d,
+        # which only re-blocks the conv input, not the token grid)
+        final_states, feats = jax.lax.scan(step, init_states,
+                                           (ev_seq, token_mask_seq))
     return feats, final_states
 
 
@@ -185,6 +185,40 @@ def _shard_fused_scan(fn, model: RVTDetector, variables, ev_seq: Array,
         in_specs=(P(), P(None, axis), P(axis)),
         out_specs=(P(None, axis), P(axis)),
         check_vma=False)(variables, ev_seq, init_states)
+
+
+def downsample_conv_apply(x: Array, sp, cfg, is_stem: bool,
+                          dtype=jnp.bfloat16) -> Array:
+    """The ConvDownsample conv alone (its LayerNorm runs inside the stage
+    kernel). Bit-matches the module: bf16 operands, bias-free. Shared by
+    the fused serving/train scans and tools/profile_fused."""
+    from rvt_tpu.ops.s2d import fold_stem_kernel
+
+    w = jnp.asarray(sp["downsample"]["conv"]["kernel"], jnp.float32)
+    if is_stem and cfg.stem_s2d:
+        w, strides, pad = fold_stem_kernel(w), (1, 1), [(0, 0), (0, 0)]
+    elif is_stem:
+        k = w.shape[0]
+        strides = (cfg.stem_patch_size,) * 2
+        pad = [(k // 2, k // 2)] * 2 if cfg.downsample.overlap else [(0, 0)] * 2
+    else:
+        k = w.shape[0]
+        strides, pad = (2, 2), ([(k // 2, k // 2)] * 2
+                                if cfg.downsample.overlap else [(0, 0)] * 2)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), strides, pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def downsample_ln_params(sp, cfg, C: int, dtype=jnp.bfloat16):
+    """(scale, bias) of the downsample LayerNorm as [1, C] rows (identity
+    when the config has no affine norm)."""
+    if cfg.downsample.norm_affine:
+        return (jnp.asarray(sp["downsample"]["norm"]["scale"],
+                            dtype).reshape(1, -1),
+                jnp.asarray(sp["downsample"]["norm"]["bias"],
+                            dtype).reshape(1, -1))
+    return (jnp.ones((1, C), dtype), jnp.zeros((1, C), dtype))
 
 
 def _fused_scan_supported(model: RVTDetector) -> bool:
@@ -225,7 +259,6 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     from rvt_tpu.ops.fused_attention import (attention_block_params,
                                              stage_fusion_mode)
     from rvt_tpu.ops.fused_scan import fused_stage_scan, split_stage_scan
-    from rvt_tpu.ops.s2d import fold_stem_kernel
 
     cfg = model.cfg.backbone
     p = variables["params"]["backbone"]
@@ -233,46 +266,21 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     T, B = ev_seq.shape[:2]
     dtype = jnp.bfloat16
 
-    def downsample_conv(x, sp, is_stem):
-        """The ConvDownsample conv alone (its LayerNorm runs inside the
-        stage kernel). Bit-matches the module: bf16 operands, bias-free."""
-        w = jnp.asarray(sp["downsample"]["conv"]["kernel"], jnp.float32)
-        if is_stem and cfg.stem_s2d:
-            w, strides, pad = fold_stem_kernel(w), (1, 1), [(0, 0), (0, 0)]
-        elif is_stem:
-            k = w.shape[0]
-            strides = (cfg.stem_patch_size,) * 2
-            pad = [(k // 2, k // 2)] * 2 if cfg.downsample.overlap else [(0, 0)] * 2
-        else:
-            k = w.shape[0]
-            strides, pad = (2, 2), ([(k // 2, k // 2)] * 2
-                                    if cfg.downsample.overlap else [(0, 0)] * 2)
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), strides, pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    def downsample_ln_params(sp, C):
-        if cfg.downsample.norm_affine:
-            return (jnp.asarray(sp["downsample"]["norm"]["scale"],
-                                dtype).reshape(1, -1),
-                    jnp.asarray(sp["downsample"]["norm"]["bias"],
-                                dtype).reshape(1, -1))
-        return (jnp.ones((1, C), dtype), jnp.zeros((1, C), dtype))
-
     x = ev_seq.reshape((T * B,) + ev_seq.shape[2:])
     feats = {}
     states_out = []
     for idx in range(cfg.num_stages):
         sp = p[f"stage{idx + 1}"]
         is_stem = idx == 0
-        x = downsample_conv(x, sp, is_stem)  # pre-LN conv output, bf16
+        # pre-LN conv output, bf16
+        x = downsample_conv_apply(x, sp, cfg, is_stem, dtype)
         h_dim, w_dim, C = x.shape[1:]
         x_seq = x.reshape(T, B, h_dim, w_dim, C)
         lp = sp["lstm"]["conv1x1"]
         lw = jnp.asarray(lp["kernel"], dtype).reshape(2 * C, 4 * C)
         lb = jnp.asarray(lp["bias"], dtype).reshape(1, -1)
         h0, c0 = init_states[idx]
-        ln_prm = downsample_ln_params(sp, C)
+        ln_prm = downsample_ln_params(sp, cfg, C, dtype)
 
         mode = stage_fusion_mode(h_dim, w_dim, C,
                                  tuple(cfg.attention.partition_size),
@@ -362,7 +370,6 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     from rvt_tpu.ops.fused_train import (fused_stage_step_train,
                                          train_block_params,
                                          train_stage_mode)
-    from rvt_tpu.ops.s2d import fold_stem_kernel
 
     cfg = model.cfg.backbone
     p = variables["params"]["backbone"]
@@ -370,44 +377,21 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     T, B = ev_seq.shape[:2]
     dtype = jnp.bfloat16
 
-    def downsample_conv(x, sp, is_stem):
-        w = jnp.asarray(sp["downsample"]["conv"]["kernel"], jnp.float32)
-        if is_stem and cfg.stem_s2d:
-            w, strides, pad = fold_stem_kernel(w), (1, 1), [(0, 0), (0, 0)]
-        elif is_stem:
-            k = w.shape[0]
-            strides = (cfg.stem_patch_size,) * 2
-            pad = [(k // 2, k // 2)] * 2 if cfg.downsample.overlap else [(0, 0)] * 2
-        else:
-            k = w.shape[0]
-            strides, pad = (2, 2), ([(k // 2, k // 2)] * 2
-                                    if cfg.downsample.overlap else [(0, 0)] * 2)
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), strides, pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    def downsample_ln_params(sp, C):
-        if cfg.downsample.norm_affine:
-            return (jnp.asarray(sp["downsample"]["norm"]["scale"],
-                                dtype).reshape(1, -1),
-                    jnp.asarray(sp["downsample"]["norm"]["bias"],
-                                dtype).reshape(1, -1))
-        return (jnp.ones((1, C), dtype), jnp.zeros((1, C), dtype))
-
     x = ev_seq.reshape((T * B,) + ev_seq.shape[2:])
     feats = {}
     states_out = []
     for idx in range(cfg.num_stages):
         sp = p[f"stage{idx + 1}"]
         is_stem = idx == 0
-        x = downsample_conv(x, sp, is_stem)  # pre-LN conv output, bf16
+        # pre-LN conv output, bf16
+        x = downsample_conv_apply(x, sp, cfg, is_stem, dtype)
         h_dim, w_dim, C = x.shape[1:]
         x_seq = x.reshape(T, B, h_dim, w_dim, C)
         lp = sp["lstm"]["conv1x1"]
         lw = jnp.asarray(lp["kernel"], dtype).reshape(2 * C, 4 * C)
         lb = jnp.asarray(lp["bias"], dtype).reshape(1, -1)
         h0, c0 = init_states[idx]
-        ln_prm = downsample_ln_params(sp, C)
+        ln_prm = downsample_ln_params(sp, cfg, C, dtype)
         part = tuple(cfg.attention.partition_size)
         mode = train_stage_mode(h_dim, w_dim, C, part)
 

@@ -33,6 +33,32 @@ def _write_panel(path, ev_hwc: np.ndarray, gt, pred, labelmap) -> None:
     Image.fromarray(img).save(str(path))
 
 
+def iter_batch_detections(batch: Batch, dets: np.ndarray,
+                          det_valid: np.ndarray, frame_idx: np.ndarray,
+                          gval: np.ndarray):
+    """Convert one window's device outputs to Prophesee-protocol arrays.
+
+    Yields (lane, t_step, gt, pred) for every labelled frame: gt/pred are
+    BBOX_DTYPE structured arrays stamped with the label frame's time
+    (reference to_prophesee, io/box_loading.py:58-99). Shared by the
+    streaming eval loop and the trainer's train-time detection metrics.
+    """
+    for b in range(batch.batch_size):
+        for k in range(frame_idx.shape[1]):
+            if not gval[b, k]:
+                continue
+            t_step = int(frame_idx[b, k])
+            mask = batch.label_mask[b, t_step]
+            labels = batch.labels[b, t_step][mask]
+            if len(labels) == 0:
+                continue
+            time_us = int(labels[0, 0])
+            gt = labels_to_structured(labels)
+            pred = detections_to_structured(dets[b, k], det_valid[b, k],
+                                            time_us)
+            yield b, t_step, gt, pred
+
+
 def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
                        batches: Iterable[Batch],
                        batch_size: int,
@@ -73,25 +99,14 @@ def run_streaming_eval(model: RVTDetector, variables, cfg: ExperimentConfig,
         nonlocal frames_seen
         dets, det_valid, frame_idx, gval = [np.asarray(o) for o in outputs]
         gt_list, pred_list = [], []
-        for b in range(batch.batch_size):
-            for k in range(frame_idx.shape[1]):
-                if not gval[b, k]:
-                    continue
-                t_step = int(frame_idx[b, k])
-                mask = batch.label_mask[b, t_step]
-                labels = batch.labels[b, t_step][mask]
-                if len(labels) == 0:
-                    continue
-                time_us = int(labels[0, 0])
-                gt = labels_to_structured(labels)
-                pred = detections_to_structured(
-                    dets[b, k], det_valid[b, k], time_us)
-                gt_list.append(gt)
-                pred_list.append(pred)
-                if viz_dir is not None and frames_seen % viz_every == 0:
-                    _write_panel(viz_dir / f"frame_{frames_seen:06d}.png",
-                                 batch.ev_repr[b, t_step], gt, pred, labelmap)
-                frames_seen += 1
+        for b, t_step, gt, pred in iter_batch_detections(
+                batch, dets, det_valid, frame_idx, gval):
+            gt_list.append(gt)
+            pred_list.append(pred)
+            if viz_dir is not None and frames_seen % viz_every == 0:
+                _write_panel(viz_dir / f"frame_{frames_seen:06d}.png",
+                             batch.ev_repr[b, t_step], gt, pred, labelmap)
+            frames_seen += 1
         if gt_list:
             evaluator.add_labels(gt_list)
             evaluator.add_predictions(pred_list)

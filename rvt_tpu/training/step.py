@@ -101,6 +101,20 @@ def gather_labels(labels: Array, label_mask: Array, frame_idx: Array):
     return yolox, mask
 
 
+def pad_token_mask(tm: Array, in_res_hw: Tuple[int, int],
+                   patch_size: int) -> Array:
+    """Corner-pad a [..., h, w] stage-1 token mask from the storage
+    resolution's token grid to the model resolution's (padding tokens are
+    never masked). Mirrors utils/padding.py:55-63."""
+    th, tw = in_res_hw[0] // patch_size, in_res_hw[1] // patch_size
+    ph, pw = th - tm.shape[-2], tw - tm.shape[-1]
+    assert ph >= 0 and pw >= 0, (tm.shape, (th, tw))
+    if ph or pw:
+        pad = [(0, 0)] * (tm.ndim - 2) + [(0, ph), (0, pw)]
+        tm = jnp.pad(tm, pad)
+    return tm
+
+
 def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype,
                 stem_s2d: bool = False) -> Array:
     """Zero-pad bottom/right to the model resolution and convert dtype
@@ -127,11 +141,20 @@ def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype,
 
 def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
                     optimizer: optax.GradientTransformation,
-                    donate: bool = True, mesh=None):
+                    donate: bool = True, mesh=None,
+                    with_detections: bool = False):
     """``mesh``: the data-parallel mesh the step will run over. Required
     for the fused Pallas backbone paths to engage on >1 device (they are
     dispatched via shard_map, see models/detector.py:scan_backbone);
-    without it a multi-device runtime falls back to the XLA backbone."""
+    without it a multi-device runtime falls back to the XLA backbone.
+
+    ``with_detections``: also postprocess (sigmoid + confidence filter +
+    NMS) the decoded head outputs of the same forward pass and return
+    ``(dets, det_valid, frame_idx, gval)`` as a 4th result — the on-device
+    half of the reference's train-time detection metrics
+    (modules/detection.py:175-205, which postprocesses training
+    predictions every step). Compiled as a separate step so the extra NMS
+    work only runs on the trainer's detection-metric cadence."""
     grid_np, stride_np = head_grid(cfg)
     grid = jnp.asarray(grid_np)
     anchor_strides = jnp.asarray(stride_np)
@@ -144,12 +167,13 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
     in_res = cfg.model.backbone.in_res_hw
 
     def loss_fn(params, batch_stats, ev_seq, init_states, labels, label_mask,
-                frame_valid):
+                frame_valid, token_mask_seq):
         variables = {"params": params, "batch_stats": batch_stats}
         # scan backbone over time; batch_stats are only used by FPN/head
         # (the backbone has no BN), so the scan body is read-only on them.
         feats, final_states = scan_backbone(
             model, variables, ev_seq, init_states,
+            token_mask_seq=token_mask_seq,
             deterministic=False, remat=True, mesh=mesh)
 
         gathered, frame_idx, gval = gather_labeled_frames(feats, frame_valid, K)
@@ -163,13 +187,22 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
         losses = yolox_loss(preds, yolox_labels, yl_mask,
                             gval.reshape(-1), grid, anchor_strides,
                             num_classes)
-        return losses["loss"], (mutated["batch_stats"], final_states, losses)
+        aux = (mutated["batch_stats"], final_states, losses)
+        if with_detections:
+            aux = aux + (jax.lax.stop_gradient(preds), frame_idx, gval)
+        return losses["loss"], aux
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, lstm_states: LstmStates,
                    ev_repr: Array, labels: Array, label_mask: Array,
-                   frame_valid: Array, is_first_sample: Array):
+                   frame_valid: Array, is_first_sample: Array,
+                   token_mask: Array = None):
         """One TBPTT window. ev_repr: [B, T, H, W, C] (storage resolution).
+
+        token_mask: optional [B, T, h, w] bool at the storage resolution's
+        stage-1 token grid (only meaningful with
+        cfg.model.backbone.enable_masking; reference
+        modules/detection.py:135-138).
 
         Returns (new_state, new_lstm_states, metrics).
         """
@@ -177,13 +210,20 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
         ev_seq = pad_ev_repr(ev_repr, in_res, compute_dtype,
                              cfg.model.backbone.stem_s2d)
         ev_seq = jnp.swapaxes(ev_seq, 0, 1)  # [T, B, H, W, C]
+        token_mask_seq = None
+        if token_mask is not None:
+            token_mask_seq = jnp.swapaxes(
+                pad_token_mask(token_mask, in_res,
+                               cfg.model.backbone.stem_patch_size), 0, 1)
 
         init_states = jax.tree.map(lambda x: x.astype(compute_dtype),
                                    lstm_states)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_bs, final_states, losses)), grads = grad_fn(
+        (_, aux), grads = grad_fn(
             state.params, state.batch_stats, ev_seq, init_states,
-            labels.astype(jnp.float32), label_mask, frame_valid)
+            labels.astype(jnp.float32), label_mask, frame_valid,
+            token_mask_seq)
+        new_bs, final_states, losses = aux[:3]
 
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params)
@@ -200,7 +240,31 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
         for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
             metrics[f"gradflow/{name}"] = jnp.mean(jnp.abs(leaf))
-        return new_state, final_states, metrics
+        # per-parameter weight magnitudes (the scalar core of the
+        # reference's logger.watch weight histograms, train.py:104);
+        # fetched on the same trainer cadence as gradflow
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                new_params)[0]:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            metrics[f"weights/{name}"] = jnp.mean(jnp.abs(leaf))
+        if not with_detections:
+            return new_state, final_states, metrics
+
+        # Postprocess the training-batch predictions exactly as the eval
+        # step does (reference: modules/detection.py:177-181 runs the same
+        # postprocess on the train forward's outputs).
+        preds, frame_idx, gval = aux[3:]
+        pp = cfg.model.postprocess
+        infer = jnp.concatenate(
+            [preds[..., :4], jax.nn.sigmoid(preds[..., 4:])], axis=-1)
+        dets, det_valid = postprocess(
+            infer, num_classes, pp.confidence_threshold, pp.nms_threshold,
+            pp.pre_nms_topk, pp.max_detections)
+        B, Kk = frame_idx.shape
+        dets = dets.reshape(B, Kk, *dets.shape[1:])
+        det_valid = det_valid.reshape(B, Kk, -1) & gval[..., None]
+        return new_state, final_states, metrics, (dets, det_valid,
+                                                  frame_idx, gval)
 
     return train_step
 

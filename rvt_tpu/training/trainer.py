@@ -46,6 +46,21 @@ class TrainerConfig:
     # are produced by a background thread so h5 decompression/augmentation
     # never sit on the step's critical path. 0 disables.
     prefetch_depth: int = 4
+    # train-time detection metrics (reference
+    # train_metrics_config.detection_metrics_every_n_steps,
+    # modules/detection.py:199-205): every N steps, evaluate the Prophesee
+    # COCO metric on training-batch predictions and log train/AP. The
+    # reference postprocesses EVERY training batch; to keep NMS off the
+    # hot path we only run the detection train-step variant on the
+    # detection_metrics_n_batches steps leading up to each evaluation.
+    # 0 disables.
+    detection_metrics_every_n_steps: int = 0
+    detection_metrics_n_batches: int = 4
+    # pred-vs-GT panels from the training batch at every detection-metric
+    # evaluation (reference DetectionVizCallback on train outputs,
+    # callbacks/detection.py:32-100); None disables
+    train_viz_dir: Optional[str] = None
+    train_viz_max_panels: int = 4
 
 
 class Trainer:
@@ -75,6 +90,9 @@ class Trainer:
         # step counter tracked on host: fetching state.step every iteration
         # blocks dispatch (~27 ms RPC on the tunneled TPU vs a ~180 ms step)
         self._host_step = 0
+        # train-time detection metrics (built lazily on first cadence hit)
+        self._det_train_step = None
+        self._train_evaluator = None
 
     # -- checkpoint/resume ----------------------------------------------------
 
@@ -92,6 +110,72 @@ class Trainer:
             params=replicate_tree(self.mesh, variables["params"]),
             batch_stats=replicate_tree(self.mesh,
                                        variables.get("batch_stats", {})))
+
+    # -- train-time detection metrics -----------------------------------------
+
+    def _consume_train_detections(self, batch: Batch, det_out,
+                                  evaluate: bool, step: int) -> None:
+        """Feed one training batch's postprocessed predictions into a
+        TRAIN-mode Prophesee evaluator; on ``evaluate`` steps score the
+        buffer, log train/AP* and render pred-vs-GT panels.
+
+        Mirrors modules/detection.py:199-205 (evaluator cadence) +
+        callbacks/detection.py:32-100 (train viz)."""
+        import numpy as np
+
+        from rvt_tpu.evaluation.prophesee import PropheseeEvaluator
+        from rvt_tpu.training.evaluator_loop import iter_batch_detections
+
+        cfg = self.cfg
+        if self._train_evaluator is None:
+            self._train_evaluator = PropheseeEvaluator(
+                cfg.dataset.name, cfg.dataset.downsample_by_factor_2)
+        outputs = [np.asarray(o) for o in jax.device_get(det_out)]
+        frames = list(iter_batch_detections(batch, *outputs))
+        if frames:
+            self._train_evaluator.add_labels([f[2] for f in frames])
+            self._train_evaluator.add_predictions([f[3] for f in frames])
+        if not evaluate:
+            return
+        from rvt_tpu.parallel.multihost import (is_main_process,
+                                                merge_evaluator_buffers)
+        merge_evaluator_buffers(self._train_evaluator)
+        if self._train_evaluator.has_data():
+            h, w = cfg.dataset.dataloading_hw
+            m = self._train_evaluator.evaluate_buffer(img_height=h,
+                                                      img_width=w)
+            if m:
+                self.logger.log(step, {f"train/{k}": v for k, v in m.items()})
+        self._train_evaluator.reset_buffer()
+        if self.tcfg.train_viz_dir is not None and is_main_process():
+            self._write_train_panels(batch, frames, step)
+
+    def _write_train_panels(self, batch: Batch, frames, step: int) -> None:
+        from pathlib import Path
+
+        import numpy as np
+
+        from rvt_tpu.training.evaluator_loop import _write_panel
+        from rvt_tpu.utils.visualization import (LABELMAP_GEN1,
+                                                 LABELMAP_GEN4_SHORT)
+
+        labelmap = (LABELMAP_GEN4_SHORT if self.cfg.dataset.name == "gen4"
+                    else LABELMAP_GEN1)
+        out_dir = Path(self.tcfg.train_viz_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, (b, t_step, gt, pred) in enumerate(
+                frames[:self.tcfg.train_viz_max_panels]):
+            ev = batch.ev_repr[b, t_step]
+            if self.model.cfg.backbone.stem_s2d:
+                # the prefetch transform already emitted s2d-blocked input;
+                # invert it to recover the renderable storage-layout frame
+                from rvt_tpu.ops.s2d import host_depth_to_space
+
+                ev = host_depth_to_space(
+                    ev, tuple(self.cfg.dataset.dataloading_hw),
+                    self.model.cfg.backbone.input_channels)
+            _write_panel(out_dir / f"step_{step:07d}_{i}.png",
+                         np.asarray(ev), gt, pred, labelmap)
 
     # -- training loop ----------------------------------------------------------
 
@@ -148,9 +232,36 @@ class Trainer:
             ev, labels, label_mask, frame_valid, is_first = shard_batch_arrays(
                 self.mesh, batch.ev_repr, batch.labels, batch.label_mask,
                 batch.frame_valid, batch.is_first_sample)
-            self.state, self._lstm_states, metrics = self.train_step(
-                self.state, self._lstm_states, ev, labels, label_mask,
-                frame_valid, is_first)
+            token_mask = None
+            if batch.token_mask is not None:
+                if not cfg.model.backbone.enable_masking:
+                    raise ValueError(
+                        "batch carries a token_mask but the model has "
+                        "enable_masking=False")
+                (token_mask,) = shard_batch_arrays(self.mesh,
+                                                   batch.token_mask)
+            det_every = self.tcfg.detection_metrics_every_n_steps
+            use_det = False
+            if det_every:
+                r = (step_idx + 1) % det_every
+                n_acc = max(1, self.tcfg.detection_metrics_n_batches)
+                use_det = r == 0 or r > det_every - n_acc
+            if use_det:
+                if self._det_train_step is None:
+                    self._det_train_step = make_train_step(
+                        self.model, cfg, self.optimizer, mesh=self.mesh,
+                        with_detections=True)
+                self.state, self._lstm_states, metrics, det_out = \
+                    self._det_train_step(self.state, self._lstm_states, ev,
+                                         labels, label_mask, frame_valid,
+                                         is_first, token_mask)
+                self._consume_train_detections(batch, det_out,
+                                               evaluate=(r == 0),
+                                               step=step_idx + 1)
+            else:
+                self.state, self._lstm_states, metrics = self.train_step(
+                    self.state, self._lstm_states, ev, labels, label_mask,
+                    frame_valid, is_first, token_mask)
             frames_done += batch.batch_size * batch.seq_len
             self._host_step = step_idx + 1
 
@@ -158,7 +269,8 @@ class Trainer:
                 gf_every = self.tcfg.gradflow_every_n_steps
                 keep_gf = gf_every and (step_idx + 1) % gf_every == 0
                 metrics = {k: v for k, v in metrics.items()
-                           if keep_gf or not k.startswith("gradflow/")}
+                           if keep_gf or not k.startswith(("gradflow/",
+                                                           "weights/"))}
                 metrics = {k: float(v)
                            for k, v in jax.device_get(metrics).items()}
                 dt = time.perf_counter() - t_start

@@ -59,6 +59,11 @@ def test_trainer_fit_and_checkpoint(tmp_path):
     gf = gf_lines[0]
     vals = [v for k, v in gf.items() if k.startswith("train/gradflow/")]
     assert len(vals) > 20 and all(np.isfinite(v) and v >= 0 for v in vals)
+    # weight magnitudes (logger.watch equivalent) on the same cadence
+    wvals = [v for k, v in gf.items() if k.startswith("train/weights/")]
+    assert len(wvals) > 20 and all(np.isfinite(v) and v >= 0 for v in wvals)
+    assert not any(k.startswith("train/weights/")
+                   for l in lines if l["step"] != 2 for k in l)
 
     # checkpoint written at step 2 and restorable
     trainer2 = Trainer(cfg, tcfg, dp_size=1)
@@ -68,6 +73,46 @@ def test_trainer_fit_and_checkpoint(tmp_path):
     p1 = jax.device_get(trainer2.state.params)
     leaves = jax.tree.leaves(p1)
     assert all(np.all(np.isfinite(x)) for x in leaves)
+
+
+def test_trainer_train_detection_metrics(tmp_path):
+    """Train-time detection metrics + train viz (reference
+    detection_metrics_every_n_steps, modules/detection.py:199-205 +
+    callbacks/detection.py:32-100): train/AP must appear in metrics.jsonl
+    on the cadence and pred-vs-GT panels must be written."""
+    from dataclasses import replace
+
+    cfg = _tiny_cfg()
+    # confidence 0: random-init logits otherwise yield zero detections
+    cfg = replace(cfg, model=replace(
+        cfg.model, postprocess=replace(cfg.model.postprocess,
+                                       confidence_threshold=0.0)))
+    tcfg = TrainerConfig(max_steps=4, log_every_n_steps=10,
+                         ckpt_every_n_steps=100, ckpt_dir=str(tmp_path),
+                         detection_metrics_every_n_steps=2,
+                         detection_metrics_n_batches=2,
+                         train_viz_dir=str(tmp_path / "viz"))
+
+    def batches():
+        # label time > the protocol's 0.5 s skip window so GT survives
+        # filter_boxes (evaluation.py:22-38)
+        for b in _batches(cfg, 5):
+            b.labels[..., 0] = np.where(b.label_mask, 1_000_000.0, 0.0)
+            yield b
+
+    trainer = Trainer(cfg, tcfg, dp_size=1)
+    metrics = trainer.fit(batches())
+    assert np.isfinite(metrics.get("loss", np.nan)) or metrics == {}
+
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    ap_lines = [l for l in lines if "train/AP" in l]
+    assert ap_lines, "train/AP never logged"
+    assert all(l["step"] % 2 == 0 for l in ap_lines)
+    assert all(np.isfinite(l["train/AP"]) for l in ap_lines)
+
+    pngs = sorted((tmp_path / "viz").glob("step_*.png"))
+    assert pngs, "no train viz panel written"
 
 
 def test_prefetch_iterator_order_and_error():

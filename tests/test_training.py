@@ -141,3 +141,48 @@ def test_train_step_with_s2d_stem():
     k1 = new_state.params["backbone"]["stage1"]["downsample"]["conv"]["kernel"]
     assert k0.shape[:2] == (7, 7)
     assert float(jnp.abs(k1 - k0).max()) > 0
+
+
+def test_train_step_with_token_mask():
+    """enable_masking training end-to-end: a token mask threads from the
+    step args through scan_backbone to the stage-1 mask-token replacement
+    (reference modules/detection.py:135-138). All-False mask == no mask;
+    all-True mask changes the loss and routes a gradient to mask_token."""
+    from dataclasses import replace
+
+    import optax
+
+    cfg = _tiny_cfg()
+    cfg = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, enable_masking=True)))
+    model = RVTDetector(cfg=cfg.model)
+    optimizer = optax.adamw(1e-3)
+    state = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    assert "mask_token" in state.params["backbone"]["stage1"]
+    step = make_train_step(model, cfg, optimizer, donate=False)
+    B = 2
+    ev, labels, mask, fv = _batch(cfg, B)
+    T = cfg.dataset.sequence_length
+    H, W = cfg.dataset.dataloading_hw
+    p = cfg.model.backbone.stem_patch_size
+    states = zero_states(cfg.model.backbone, B)
+    is_first = jnp.ones((B,), bool)
+
+    tm_false = jnp.zeros((B, T, H // p, W // p), bool)
+    tm_true = jnp.ones((B, T, H // p, W // p), bool)
+
+    _, _, m_none = step(state, states, ev, labels, mask, fv, is_first)
+    _, _, m_false = step(state, states, ev, labels, mask, fv, is_first,
+                         tm_false)
+    s_true, _, m_true = step(state, states, ev, labels, mask, fv, is_first,
+                             tm_true)
+    # all-False mask is numerically the no-mask path
+    np.testing.assert_allclose(float(m_false["loss"]), float(m_none["loss"]),
+                               rtol=1e-6)
+    # all-True mask replaces every stage-1 token -> different loss
+    assert abs(float(m_true["loss"]) - float(m_none["loss"])) > 1e-6
+    # and the mask token itself received a gradient update
+    t0 = state.params["backbone"]["stage1"]["mask_token"]
+    t1 = s_true.params["backbone"]["stage1"]["mask_token"]
+    assert float(jnp.abs(t1 - t0).max()) > 0
+    assert float(m_true["gradflow/backbone/stage1/mask_token"]) > 0

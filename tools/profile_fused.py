@@ -24,12 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, iters, *args):
+def timeit(fn, iters, *args, chain=None):
+    """Mean s/iter. ``chain(result, args) -> args`` threads a data
+    dependency between iterations (bench.py's carried-LSTM-state pattern)
+    so the final scalar fetch forces the WHOLE chain on the tunneled
+    backend, where block_until_ready returns early. Call sites with a
+    natural carry (states) pass chain; the stateless downsample convs run
+    unchained — there the last-dispatch fetch relies on the backend's
+    in-order stream execution, adequate for a profiling breakdown."""
     r = fn(*args)
     float(jnp.sum(jax.tree.leaves(r)[0]))
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
+        if chain is not None:
+            args = chain(r, args)
     float(jnp.sum(jax.tree.leaves(r)[0]))
     return (time.perf_counter() - t0) / iters
 
@@ -44,7 +53,9 @@ def main():
 
     from rvt_tpu.config import preset
     from rvt_tpu.models import init_detector, zero_states
-    from rvt_tpu.models.detector import fused_scan_backbone
+    from rvt_tpu.models.detector import (downsample_conv_apply,
+                                         downsample_ln_params,
+                                         fused_scan_backbone)
     from rvt_tpu.ops.fused_attention import (attention_block_params,
                                              stage_fusion_mode)
     from rvt_tpu.ops.fused_scan import (fused_stage_scan, split_stage_scan)
@@ -66,8 +77,10 @@ def main():
     rng = np.random.RandomState(0)
     label_every = 5 if args.dataset == "gen1" else 2
 
-    # full eval step
-    raw_hw = (H, W)
+    # full eval step. Synthetic events at the DATASET raw resolution
+    # (bench.py convention: gen1 240x304, gen4 360x640) so the padded
+    # border is zero as in production.
+    raw_hw = (240, 304) if args.dataset == "gen1" else (360, 640)
     ev_raw = rng.randint(0, 8, size=(B, T) + raw_hw + (20,)).astype(np.uint8)
     ev = jnp.asarray(host_space_to_depth(ev_raw, (H, W)))
     frame_valid = jnp.asarray(
@@ -75,8 +88,11 @@ def main():
     is_first = jnp.zeros((B,), bool)
     states = zero_states(bb, B)
     eval_step = make_eval_step(model, cfg)
-    t_full = timeit(lambda *a: eval_step(*a)[1], args.iters,
-                    variables, states, ev, frame_valid, is_first)
+    # chain each iteration through the returned LSTM states so the final
+    # fetch forces the whole chain (tunneled-backend timing protocol)
+    t_full = timeit(lambda v, s, e, fv, i: eval_step(v, s, e, fv, i)[:2],
+                    args.iters, variables, states, ev, frame_valid, is_first,
+                    chain=lambda r, a: (a[0], r[0]) + a[2:])
     print(f"full eval step      : {t_full*1e3:7.2f} ms/window "
           f"({B*T/t_full:7.1f} fps)")
 
@@ -88,34 +104,24 @@ def main():
         feats, fs = fused_scan_backbone(model, variables, ev_t, states)
         return feats[0], fs
 
-    t_bb = timeit(bb_only, args.iters, variables, ev_t, states)
+    t_bb = timeit(bb_only, args.iters, variables, ev_t, states,
+                  chain=lambda r, a: a[:2] + (r[1],))
     print(f"fused backbone scan : {t_bb*1e3:7.2f} ms/window "
           f"[detect+nms+gather {1e3*(t_full-t_bb):.2f} ms]")
 
-    # per-stage: conv vs stage kernel
+    # Per-stage: conv vs stage kernel. The stage decomposition below
+    # mirrors models/detector.py:fused_scan_backbone (the conv/LN param
+    # extraction is IMPORTED from there so the two cannot desynchronize;
+    # the mode dispatch must be kept in sync with it by hand).
     p = variables["params"]["backbone"]
     x = ev_t.reshape((T * B,) + ev_t.shape[2:])
-    from rvt_tpu.ops.s2d import fold_stem_kernel
     dtype = jnp.bfloat16
     for idx in range(bb.num_stages):
         sp = p[f"stage{idx + 1}"]
         is_stem = idx == 0
-        w = jnp.asarray(sp["downsample"]["conv"]["kernel"], jnp.float32)
-        if is_stem and bb.stem_s2d:
-            w2, strides, pad = fold_stem_kernel(w), (1, 1), [(0, 0), (0, 0)]
-        else:
-            k = w.shape[0]
-            strides = (2, 2)
-            pad = ([(k // 2, k // 2)] * 2 if bb.downsample.overlap
-                   else [(0, 0)] * 2)
-            w2 = w
 
-        @jax.jit
-        def conv(x, w2=w2, strides=strides, pad=pad):
-            return jax.lax.conv_general_dilated(
-                x.astype(dtype), w2.astype(dtype), strides, pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
+        conv = jax.jit(lambda x, sp=sp, is_stem=is_stem:
+                       downsample_conv_apply(x, sp, bb, is_stem, dtype))
         t_conv = timeit(conv, args.iters, x)
         x = conv(x)
         h_dim, w_dim, C = x.shape[1:]
@@ -124,13 +130,7 @@ def main():
         lw = jnp.asarray(lpar["kernel"], dtype).reshape(2 * C, 4 * C)
         lb = jnp.asarray(lpar["bias"], dtype).reshape(1, -1)
         h0, c0 = zero_states(bb, B)[idx]
-        if bb.downsample.norm_affine:
-            ln_prm = (jnp.asarray(sp["downsample"]["norm"]["scale"],
-                                  dtype).reshape(1, -1),
-                      jnp.asarray(sp["downsample"]["norm"]["bias"],
-                                  dtype).reshape(1, -1))
-        else:
-            ln_prm = (jnp.ones((1, C), dtype), jnp.zeros((1, C), dtype))
+        ln_prm = downsample_ln_params(sp, bb, C, dtype)
         mode = stage_fusion_mode(h_dim, w_dim, C,
                                  tuple(bb.attention.partition_size),
                                  scan=True)
@@ -142,19 +142,24 @@ def main():
         pw = attention_block_params(sp["block0"]["att_window"], True)
         pg = attention_block_params(sp["block0"]["att_grid"], False)
         if mode in ("part", "dense"):
-            fn = jax.jit(lambda xs, mode=mode, pw=pw, pg=pg, lw=lw, lb=lb,
-                         h0=h0, c0=c0, common=common: fused_stage_scan(
+            fn = jax.jit(lambda xs, h0, c0, mode=mode, pw=pw, pg=pg, lw=lw,
+                         lb=lb, common=common: fused_stage_scan(
                              xs, pw, pg, lw, lb, h0, c0,
                              dense=mode == "dense", **common))
         elif mode == "split":
-            fn = jax.jit(lambda xs, pw=pw, pg=pg, lw=lw, lb=lb, h0=h0,
-                         c0=c0, common=common: split_stage_scan(
+            fn = jax.jit(lambda xs, h0, c0, pw=pw, pg=pg, lw=lw, lb=lb,
+                         common=common: split_stage_scan(
                              xs, pw, pg, lw, lb, h0, c0, **common))
         else:
-            print(f"stage{idx+1}: mode={mode} (per-step fallback) — skipped")
+            print(f"stage{idx+1}: mode={mode} (per-step fallback) — skipped;"
+                  " NOTE: later stages are timed on this stage's raw conv"
+                  " output (correct shapes, unrepresentative values — fine"
+                  " for timing)")
             continue
-        t_k = timeit(lambda xs: fn(xs)[0], args.iters, x_seq)
-        h_seq = fn(x_seq)[0]
+        # chain the (hT, cT) carry between iterations (same protocol)
+        t_k = timeit(fn, args.iters, x_seq, h0, c0,
+                     chain=lambda r, a: (a[0], r[1], r[2]))
+        h_seq = fn(x_seq, h0, c0)[0]
         x = h_seq.reshape(T * B, h_dim, w_dim, C).astype(dtype)
         print(f"stage{idx+1} ({h_dim}x{w_dim}x{C}, {mode:5s}): "
               f"conv {t_conv*1e3:6.2f} ms  kernel {t_k*1e3:6.2f} ms")

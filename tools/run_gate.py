@@ -35,12 +35,51 @@ PAPER_MAP = {
 
 GATE_BUDGET = 0.2  # max |delta| vs the reference checkpoint's mAP
 
+# Published md5 prefixes of the released checkpoints
+# (/root/reference/README.md:73-108: gen1 and "1mpx" tables). The README
+# publishes 6-hex-digit prefixes, so that is what can be verified.
+CKPT_MD5 = {
+    ("gen1", "base"): "839317",
+    ("gen1", "small"): "840f2b",
+    ("gen1", "tiny"): "a770b9",
+    ("gen4", "base"): "72923a",
+    ("gen4", "small"): "a94207",
+    ("gen4", "tiny"): "5a3c78",
+}
+
+
+def verify_ckpt_md5(ckpt: Path, dataset: str, size: str) -> str | None:
+    """Refuse a corrupted/mismatched download before spending an eval run.
+
+    Returns the computed md5 hex digest, or None when not applicable
+    (orbax directory, or no published digest for this combo). Raises
+    SystemExit with a clear message on mismatch."""
+    import hashlib
+
+    expected = CKPT_MD5.get((dataset, size))
+    if expected is None or not ckpt.is_file():
+        return None
+    h = hashlib.md5()
+    with open(ckpt, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    if not digest.startswith(expected):
+        raise SystemExit(
+            f"checkpoint md5 mismatch for {ckpt} ({dataset}/{size}): "
+            f"got {digest}, expected prefix {expected} "
+            f"(reference README.md:73-108). The download is corrupted or "
+            f"the wrong file — re-download it, or pass --skip_md5 if this "
+            f"is intentionally a different checkpoint.")
+    return digest
+
 
 def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
              split: str = "test", batch_size: int = 8,
              expected_map: float | None = None,
              preset_kwargs: dict | None = None,
-             serve_fused: bool = False) -> dict:
+             serve_fused: bool = False,
+             skip_md5: bool = False) -> dict:
     """Convert + evaluate one checkpoint; returns the gate record.
 
     preset_kwargs: config overrides (resolution_hw, sequence_length, ...)
@@ -56,6 +95,10 @@ def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
     from rvt_tpu.data.streaming import EvalStreamScheduler
     from rvt_tpu.models import RVTDetector
     from rvt_tpu.training.evaluator_loop import run_streaming_eval
+
+    md5 = None
+    if not skip_md5 and preset_kwargs is None:
+        md5 = verify_ckpt_md5(ckpt, dataset, size)
 
     cfg = preset(dataset, size, **(preset_kwargs or {}))
     if serve_fused:
@@ -81,6 +124,7 @@ def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
         "checkpoint": str(ckpt),
         "num_recordings": len(streams),
         "device": jax.devices()[0].platform,
+        **({"ckpt_md5": md5} if md5 else {}),
         **{k: float(v) for k, v in metrics.items()},
     }
     paper = PAPER_MAP.get((dataset, size))
@@ -111,6 +155,9 @@ def main() -> None:
                          "(<=0.2 delta); defaults to the paper value")
     ap.add_argument("--serve_fused", action="store_true",
                     help="evaluate on the bf16 fused-kernel serving path")
+    ap.add_argument("--skip_md5", action="store_true",
+                    help="skip checkpoint md5 verification (e.g. for "
+                         "self-trained checkpoints)")
     args = ap.parse_args()
 
     size = args.size
@@ -125,7 +172,8 @@ def main() -> None:
         expected = PAPER_MAP.get((args.dataset, size))
     record = run_gate(args.ckpt, args.data, args.dataset, size,
                       split=args.split, batch_size=args.batch_size,
-                      expected_map=expected, serve_fused=args.serve_fused)
+                      expected_map=expected, serve_fused=args.serve_fused,
+                      skip_md5=args.skip_md5)
     print(json.dumps(record, indent=2))
     if record.get("gate_pass") is False:
         sys.exit(1)
