@@ -350,24 +350,29 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
 
 
 def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
-                              init_states: LstmStates
+                              init_states: LstmStates,
+                              per_step: bool = False
                               ) -> Tuple[Tuple[Array, ...], LstmStates]:
     """Differentiable fused backbone scan for TRAINING.
 
     Same structure as ``fused_scan_backbone`` (downsample convs in XLA,
-    batched over the whole window) but each stage timestep is the
-    custom-VJP Pallas kernel ``ops/fused_train.fused_stage_step_train``
-    under ``lax.scan``: the scan transpose chains the (dh, dc) BPTT
-    carries and accumulates per-step parameter cotangents. Stages outside
-    the train-kernel envelope (gen4 stage 1) run the XLA module path
-    under ``jax.checkpoint``.
+    batched over the whole window); each stage runs its WHOLE window as
+    one custom-VJP Pallas scan kernel with the LSTM carry in VMEM
+    (``ops/fused_train.fused_stage_scan_train`` — forward one kernel,
+    backward three, weights staged once per window). ``per_step=True``
+    forces the older per-timestep kernels under ``lax.scan``
+    (``fused_stage_step_train``; same numerics, kept for A/B profiling).
+    Stages outside the train-kernel envelope (gen4 stage 1) run the XLA
+    module path under ``jax.checkpoint``.
 
-    Single-device jit only (Pallas calls do not auto-partition over a
-    mesh); multi-device data-parallel training uses the XLA path.
-    Reference loop: modules/detection.py:131-158.
+    Runs on one device's batch shard: multi-device data-parallel training
+    reaches this through ``scan_backbone``'s ``shard_map`` dispatch (the
+    transpose psums the replicated-parameter cotangents = the DP gradient
+    all-reduce). Reference loop: modules/detection.py:131-158.
     """
     from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
-    from rvt_tpu.ops.fused_train import (fused_stage_step_train,
+    from rvt_tpu.ops.fused_train import (fused_stage_scan_train,
+                                         fused_stage_step_train,
                                          train_block_params,
                                          train_stage_mode)
 
@@ -402,6 +407,15 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                         mode == "dense", interpret)
             win = train_block_params(sp["block0"]["att_window"], True)
             grd = train_block_params(sp["block0"]["att_grid"], False)
+
+            if not per_step:
+                h_seq, hT, cT = fused_stage_scan_train(
+                    step_cfg, x_seq, ln_prm[0], ln_prm[1], win, grd, lw,
+                    lb, h0, c0)
+                states_out.append((hT, cT))
+                feats[idx + 1] = h_seq
+                x = h_seq.reshape(T * B, h_dim, w_dim, C)
+                continue
 
             def stage_step(carry, x_t, step_cfg=step_cfg, ln_prm=ln_prm,
                            win=win, grd=grd, lw=lw, lb=lb):

@@ -9,6 +9,13 @@ per backbone stage per timestep for the forward, and ONE Pallas kernel
 for the whole backward (attention pair + ConvLSTM cell), with every
 intermediate VMEM-resident.
 
+Two granularities share the same kernel bodies:
+  * ``fused_stage_scan_train`` (the production path) runs one stage's
+    WHOLE window per kernel — time loop in the Pallas grid, LSTM carry in
+    VMEM, weights staged once per window (see the section comment below).
+  * ``fused_stage_step_train`` is the per-timestep variant it grew from
+    (kept for A/B profiling and as the pattern the tests cross-check).
+
 Design (TPU-first, flash-attention-style):
   * ``fused_stage_train`` is a ``jax.custom_vjp`` per-timestep stage step.
     The residuals are just the step INPUTS (x_t, h_{t-1}, c_{t-1},
@@ -462,67 +469,37 @@ def _stage_step_fwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
     co_ref[0] = c_t.reshape(shape)
 
 
-def _acc(ref, b, val):
-    """Accumulate a weight-grad output across the sequential batch grid."""
-    @pl.when(b == 0)
+def _acc(ref, is_first, val):
+    """Accumulate a weight-grad output across the sequential grid.
+    ``is_first`` must be True exactly on the first grid iteration."""
+    @pl.when(is_first)
     def _init():
         ref[...] = val.astype(ref.dtype)
 
-    @pl.when(b > 0)
+    @pl.when(jnp.logical_not(is_first))
     def _add():
         ref[...] += val.astype(ref.dtype)
 
 
-def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense):
-    """Backward kernel 1 of 3: recompute the forward chain (no stores)
-    and backprop the ConvLSTM cell. The three-kernel split exists because
-    Mosaic's scoped-VMEM stack reuse across a fwd-recompute + full
-    backward in ONE kernel is poor — the single-kernel variant needed
-    ~106 MB stack at RVT-T gen1 stage-1 geometry (64x80x32) vs the 96 MB
-    cap; each split kernel stays well under it. The f32 residual
-    checkpoint R1 and the cell cotangent dR2 pass through HBM (~1 MB per
-    image at C=32 — noise next to the weight-grad traffic).
-
-    refs in: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
-    lstm_w, lstm_b, h_in, c_in, dh_t, dc_t
-    refs out: R1 (f32 img), dR2 (f32 img), dlstm_w, dlstm_b, dh_in, dc_in.
-    """
-    b = pl.program_id(0)
-    n_extra = 2 if dense else 0
-    n_in = 3 + _N_TRAIN_SFN + _N_TRAIN + n_extra + 6
-    in_refs, out_refs = refs[:n_in], refs[n_in:]
-    x_ref, ds_s, ds_b = in_refs[0], in_refs[1], in_refs[2]
-    prms = in_refs[3:3 + _N_TRAIN_SFN + _N_TRAIN]
-    win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
-    if dense:
-        bias_w, bias_g = in_refs[-8:-6]
-    else:
-        bias_w = bias_g = None
-    lstm_w, lstm_b, h_ref, c_ref, dht_ref, dct_ref = in_refs[-6:]
-    R1_ref, dR2_ref, dlw_ref, dlb_ref, dhin_ref, dcin_ref = out_refs
-
-    T = H * W
-    # ---- forward recompute (no stores) ----
-    xf = x_ref[0].astype(jnp.float32)
-    x_bf16, _, _ = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+def _recompute_R1(x_f32, ds_s, ds_b, win, *, H, W, C, heads, dh, part,
+                  eps, ds_eps, bias_w):
+    """Shared forward recompute: downsample LN + window block. Returns
+    (R1, x_bf16, and the LN saveables)."""
+    x_bf16, xhat0, rstd0 = _ln_fwd(x_f32, ds_s[...], ds_b[...], ds_eps)
     R0 = x_bf16.astype(jnp.float32)
     R1, _ = _block_fwd(R0, win, window_mode=True, skip_first_norm=True,
                        x_in_bf16=x_bf16, H=H, W=W, C=C, heads=heads,
                        dh=dh, part=part, eps=eps, bias=bias_w, store=False)
-    R2, _ = _block_fwd(R1, grid, window_mode=False,
-                       skip_first_norm=False, x_in_bf16=None, H=H,
-                       W=W, C=C, heads=heads, dh=dh, part=part,
-                       eps=eps, bias=bias_g, store=False)
-    R1_ref[0] = R1.reshape(R1_ref.shape[1:])
+    return R1, x_bf16, xhat0, rstd0
 
-    # ---- LSTM recompute + backward, row-chunked (the cell is pointwise
-    # over tokens; the [rows, 4C] gate tensors are the stack peak) ----
-    R2f = R2.reshape(T, C)
-    xb_full = R2f.astype(jnp.bfloat16)
-    hb_full = h_ref[0].astype(jnp.bfloat16).reshape(T, C)
-    cp_full = c_ref[0].astype(jnp.float32).reshape(T, C)
-    dh_full = dht_ref[0].astype(jnp.float32).reshape(T, C)
-    dc_full = dct_ref[0].astype(jnp.float32).reshape(T, C)
+
+def _lstm_bwd_chunked(xb_full, hb_full, cp_full, dh_full, dc_full, lstm_w,
+                      lstm_b, T, C):
+    """Row-chunked ConvLSTM-cell recompute + backward (the cell is
+    pointwise over tokens; the [rows, 4C] gate tensors are the stack
+    peak). All inputs [T, C]-shaped (xb/hb bf16, rest f32). Returns
+    (dlw_acc, dlb_acc, dR2 [T, C] f32, dhin [T, C] f32, dcin [T, C] f32).
+    """
     chunk = _mlp_chunk_size(T, C)
     dlw_acc = dlb_acc = 0.0
     dR2_rows, dhin_rows, dcin_rows = [], [], []
@@ -556,21 +533,80 @@ def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense):
         dR2_rows.append(dxh[:, :C].astype(jnp.float32))
         dhin_rows.append(dxh[:, C:2 * C].astype(jnp.float32))
         dcin_rows.append(dct * f_g)
-    _acc(dlw_ref, b, dlw_acc)
-    _acc(dlb_ref, b, dlb_acc)
     cat = (lambda rows: rows[0] if len(rows) == 1
            else jnp.concatenate(rows, axis=0))
+    return dlw_acc, dlb_acc, cat(dR2_rows), cat(dhin_rows), cat(dcin_rows)
+
+
+def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense):
+    """Backward kernel 1 of 3: recompute the forward chain (no stores)
+    and backprop the ConvLSTM cell. The three-kernel split exists because
+    Mosaic's scoped-VMEM stack reuse across a fwd-recompute + full
+    backward in ONE kernel is poor — the single-kernel variant needed
+    ~106 MB stack at RVT-T gen1 stage-1 geometry (64x80x32) vs the 96 MB
+    cap; each split kernel stays well under it. The f32 residual
+    checkpoint R1 and the cell cotangent dR2 pass through HBM (~1 MB per
+    image at C=32 — noise next to the weight-grad traffic).
+
+    refs in: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
+    lstm_w, lstm_b, h_in, c_in, dh_t, dc_t
+    refs out: R1 (f32 img), dR2 (f32 img), dlstm_w, dlstm_b, dh_in, dc_in.
+    """
+    b = pl.program_id(0)
+    n_extra = 2 if dense else 0
+    n_in = 3 + _N_TRAIN_SFN + _N_TRAIN + n_extra + 6
+    in_refs, out_refs = refs[:n_in], refs[n_in:]
+    x_ref, ds_s, ds_b = in_refs[0], in_refs[1], in_refs[2]
+    prms = in_refs[3:3 + _N_TRAIN_SFN + _N_TRAIN]
+    win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
+    if dense:
+        bias_w, bias_g = in_refs[-8:-6]
+    else:
+        bias_w = bias_g = None
+    lstm_w, lstm_b, h_ref, c_ref, dht_ref, dct_ref = in_refs[-6:]
+    R1_ref, dR2_ref, dlw_ref, dlb_ref, dhin_ref, dcin_ref = out_refs
+
+    T = H * W
+    # ---- forward recompute (no stores) ----
+    xf = x_ref[0].astype(jnp.float32)
+    R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
+                                heads=heads, dh=dh, part=part, eps=eps,
+                                ds_eps=ds_eps, bias_w=bias_w)
+    R2, _ = _block_fwd(R1, grid, window_mode=False,
+                       skip_first_norm=False, x_in_bf16=None, H=H,
+                       W=W, C=C, heads=heads, dh=dh, part=part,
+                       eps=eps, bias=bias_g, store=False)
+    R1_ref[0] = R1.reshape(R1_ref.shape[1:])
+
+    # ---- LSTM recompute + backward (row-chunked, see helper) ----
+    dlw_acc, dlb_acc, dR2, dhin, dcin = _lstm_bwd_chunked(
+        R2.reshape(T, C).astype(jnp.bfloat16),
+        h_ref[0].astype(jnp.bfloat16).reshape(T, C),
+        c_ref[0].astype(jnp.float32).reshape(T, C),
+        dht_ref[0].astype(jnp.float32).reshape(T, C),
+        dct_ref[0].astype(jnp.float32).reshape(T, C),
+        lstm_w, lstm_b, T, C)
+    _acc(dlw_ref, b == 0, dlw_acc)
+    _acc(dlb_ref, b == 0, dlb_acc)
     shape = (T, C) if dense else (H, W, C)
-    dhin_ref[0] = cat(dhin_rows).reshape(shape)
-    dcin_ref[0] = cat(dcin_rows).reshape(shape)
-    dR2_ref[0] = cat(dR2_rows).reshape(shape)
+    dhin_ref[0] = dhin.reshape(shape)
+    dcin_ref[0] = dcin.reshape(shape)
+    dR2_ref[0] = dR2.reshape(shape)
 
 
-def _bwd_grid_kernel(*refs, H, W, C, heads, dh, part, eps, dense):
+def _bwd_grid_kernel(*refs, H, W, C, heads, dh, part, eps, dense,
+                     seq=False):
     """Backward kernel 2 of 3: grid-block backward from the R1 checkpoint.
     refs in: R1 (f32 img), *grid(14), [bias_g,] dR2 (f32 img)
-    refs out: dR1 (f32 img), *dgrid(14)."""
-    b = pl.program_id(0)
+    refs out: dR1 (f32 img), *dgrid(14).
+
+    With ``seq`` the grid is (B, T) over a whole window (image blocks are
+    [1, 1, ...] time-sliced; weight grads accumulate across b AND t) —
+    the block backward itself has no time recurrence."""
+    first = pl.program_id(0) == 0
+    if seq:
+        first = jnp.logical_and(first, pl.program_id(1) == 0)
+    ix = (0, 0) if seq else (0,)
     R1_ref = refs[0]
     grid_p = refs[1:1 + _N_TRAIN]
     if dense:
@@ -584,27 +620,31 @@ def _bwd_grid_kernel(*refs, H, W, C, heads, dh, part, eps, dense):
     dR1_ref = out_refs[0]
     dgrid_refs = out_refs[1:]
 
-    R1 = R1_ref[0].astype(jnp.float32)
+    R1 = R1_ref[ix].astype(jnp.float32)
     _, saved_g = _block_fwd(R1, grid_p, window_mode=False,
                             skip_first_norm=False, x_in_bf16=None, H=H,
                             W=W, C=C, heads=heads, dh=dh, part=part,
                             eps=eps, bias=bias_g, store=True)
-    dR2 = dR2_ref[0].astype(jnp.float32).reshape(R1.shape)
+    dR2 = dR2_ref[ix].astype(jnp.float32).reshape(R1.shape)
     dR1, _, grads_g = _block_bwd(dR2, saved_g, grid_p, window_mode=False,
                                  skip_first_norm=False, H=H, W=W, C=C,
                                  heads=heads, dh=dh, part=part, eps=eps,
                                  bias=bias_g)
     for ref, val in zip(dgrid_refs, grads_g):
-        _acc(ref, b, val)
-    dR1_ref[0] = dR1.reshape(dR1_ref.shape[1:])
+        _acc(ref, first, val)
+    dR1_ref[ix] = dR1.reshape(dR1_ref.shape[len(ix):])
 
 
 def _bwd_window_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
-                       dense):
+                       dense, seq=False):
     """Backward kernel 3 of 3: window-block + downsample-LN backward.
     refs in: x, ds_s, ds_b, *win(12), [bias_w,] dR1 (f32 img)
-    refs out: dx (bf16 img), dds_s, dds_b, *dwin(12)."""
-    b = pl.program_id(0)
+    refs out: dx (bf16 img), dds_s, dds_b, *dwin(12).
+    ``seq``: (B, T) whole-window grid, as in _bwd_grid_kernel."""
+    first = pl.program_id(0) == 0
+    if seq:
+        first = jnp.logical_and(first, pl.program_id(1) == 0)
+    ix = (0, 0) if seq else (0,)
     x_ref, ds_s, ds_b = refs[0], refs[1], refs[2]
     win_p = refs[3:3 + _N_TRAIN_SFN]
     if dense:
@@ -619,29 +659,29 @@ def _bwd_window_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
     dwin_refs = out_refs[3:]
 
     T = H * W
-    xf = x_ref[0].astype(jnp.float32)
+    xf = x_ref[ix].astype(jnp.float32)
     x_bf16, xhat0, rstd0 = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
     R0 = x_bf16.astype(jnp.float32)
     _, saved_w = _block_fwd(R0, win_p, window_mode=True,
                             skip_first_norm=True, x_in_bf16=x_bf16, H=H,
                             W=W, C=C, heads=heads, dh=dh, part=part,
                             eps=eps, bias=bias_w, store=True)
-    dR1 = dR1_ref[0].astype(jnp.float32).reshape(R0.shape)
+    dR1 = dR1_ref[ix].astype(jnp.float32).reshape(R0.shape)
     dR0, dxa, grads_w = _block_bwd(dR1, saved_w, win_p, window_mode=True,
                                    skip_first_norm=True, H=H, W=W, C=C,
                                    heads=heads, dh=dh, part=part, eps=eps,
                                    bias=bias_w)
     for ref, val in zip(dwin_refs, grads_w):
-        _acc(ref, b, val)
+        _acc(ref, first, val)
 
     # x_bf16 feeds both the residual stream (R0) and the sfn attention
     dxbf = dR0 + dxa.reshape(dR0.shape)
     dxf, dds_s, dds_b = _ln_bwd(
         dxbf.reshape(T, C), xhat0.reshape(T, C),
         rstd0.reshape(T, 1), ds_s)
-    _acc(dds_s_ref, b, dds_s)
-    _acc(dds_b_ref, b, dds_b)
-    dx_ref[0] = dxf.astype(jnp.bfloat16).reshape(x_ref.shape[1:])
+    _acc(dds_s_ref, first, dds_s)
+    _acc(dds_b_ref, first, dds_b)
+    dx_ref[ix] = dxf.astype(jnp.bfloat16).reshape(x_ref.shape[len(ix):])
 
 
 # ---------------------------------------------------------------------------
@@ -804,6 +844,349 @@ def _stage_bwd(cfg, res, cot):
 
 
 fused_stage_step_train.defvjp(_stage_fwd, _stage_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-window train scan: the time loop moves into the Pallas grid
+# ---------------------------------------------------------------------------
+#
+# The per-step custom-VJP above pays, at every one of the window's T
+# timesteps, a full HBM->VMEM re-stage of the stage's weights plus kernel
+# launch overhead — x4 kernels (1 fwd + 3 bwd) x T steps x 4 stages =
+# ~336 launches per train step. The serving path already solved this
+# (ops/fused_scan.py): grid (B, T) with t innermost, carry in VMEM
+# scratch, weights fetched once per launch (their block index never
+# changes). Here the same structure becomes differentiable:
+#
+#   * forward: one kernel per stage per window; additionally streams the
+#     per-step h (bf16) and c (f32) sequences to HBM — exactly the
+#     residuals the backward needs (LESS than the per-step path's scan
+#     residuals, which stack h AND c in f32).
+#   * backward kernel 1: grid (B, T) REVERSED over time, (dh, dc) BPTT
+#     carry in VMEM scratch; recomputes the forward chain per step and
+#     backprops the cell, emitting the R1 checkpoint + dR2 streams.
+#   * backward kernels 2/3: the SAME per-step grid/window-block kernels,
+#     just gridded (B, T) over the whole window (no time recurrence).
+#
+# Numerics are identical to the per-step path: h re-enters the next step
+# cast to bf16 either way (the saved bf16 h_seq IS that rounding), c stays
+# f32, and the carry/external cotangent sum matches the lax.scan transpose.
+
+
+def _scan_fwd_train_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
+                           dense):
+    """refs in: x_seq, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
+    lstm_w, lstm_b, h0, c0
+    refs out: h_seq (bf16), c_seq (f32), hT, cT; scratch: h_s, c_s."""
+    x_ref = refs[0]
+    ds_s, ds_b = refs[1], refs[2]
+    lstm_w, lstm_b, h0_ref, c0_ref = refs[-10:-6]
+    hseq_ref, cseq_ref, hT_ref, cT_ref = refs[-6:-2]
+    h_s, c_s = refs[-2:]
+    if dense:
+        bias_w, bias_g = refs[-12:-10]
+        prms = refs[3:-12]
+    else:
+        bias_w = bias_g = None
+        prms = refs[3:-10]
+    win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_s[...] = h0_ref[0]
+        c_s[...] = c0_ref[0]
+
+    xf = x_ref[0, 0].astype(jnp.float32)
+    R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
+                                heads=heads, dh=dh, part=part, eps=eps,
+                                ds_eps=ds_eps, bias_w=bias_w)
+    R2, _ = _block_fwd(R1, grid, window_mode=False, skip_first_norm=False,
+                       x_in_bf16=None, H=H, W=W, C=C, heads=heads, dh=dh,
+                       part=part, eps=eps, bias=bias_g, store=False)
+    T = H * W
+    _, _, _, _, _, _, c_t, h_t = _lstm_recompute(
+        R2, h_s[...], c_s[...], lstm_w, lstm_b, T, C)
+    shape = (T, C) if dense else (H, W, C)
+    h_hw = h_t.reshape(shape)
+    c_hw = c_t.reshape(shape)
+    h_s[...] = h_hw
+    c_s[...] = c_hw
+    hseq_ref[0, 0] = h_hw.astype(jnp.bfloat16)
+    cseq_ref[0, 0] = c_hw
+    # constant block index over t: the final write (t = T-1) is what lands
+    hT_ref[0] = h_hw
+    cT_ref[0] = c_hw
+
+
+def _bwd_lstm_scan_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
+                          dense):
+    """Whole-window backward kernel 1 of 3. Grid (B, T) whose seq index
+    maps run time REVERSED (grid position t processes actual step
+    T-1-t); the (dh, dc) BPTT carry lives in VMEM scratch.
+
+    refs in: x_seq, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
+    lstm_w, lstm_b, h_prev_seq (bf16), c_prev_seq (f32),
+    dh_seq (bf16 cotangent of the h_seq output), dhT, dcT
+    refs out: R1_seq (f32), dR2_seq (f32), dlstm_w, dlstm_b, dh0, dc0
+    scratch: dh_s, dc_s (f32)."""
+    b = pl.program_id(0)
+    tr = pl.program_id(1)  # 0 first -> actual step T-1
+    n_extra = 2 if dense else 0
+    n_in = 3 + _N_TRAIN_SFN + _N_TRAIN + n_extra + 7
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in:n_in + 6]
+    dh_s, dc_s = refs[n_in + 6:]
+    x_ref, ds_s, ds_b = in_refs[0], in_refs[1], in_refs[2]
+    prms = in_refs[3:3 + _N_TRAIN_SFN + _N_TRAIN]
+    win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
+    if dense:
+        bias_w, bias_g = in_refs[-9:-7]
+    else:
+        bias_w = bias_g = None
+    (lstm_w, lstm_b, hp_ref, cp_ref, dhs_ref, dhT_ref,
+     dcT_ref) = in_refs[-7:]
+    R1_ref, dR2_ref, dlw_ref, dlb_ref, dh0_ref, dc0_ref = out_refs
+
+    @pl.when(tr == 0)
+    def _init():
+        dh_s[...] = dhT_ref[0]
+        dc_s[...] = dcT_ref[0]
+
+    T = H * W
+    # ---- forward recompute to R2 (no stores) ----
+    xf = x_ref[0, 0].astype(jnp.float32)
+    R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
+                                heads=heads, dh=dh, part=part, eps=eps,
+                                ds_eps=ds_eps, bias_w=bias_w)
+    R2, _ = _block_fwd(R1, grid, window_mode=False, skip_first_norm=False,
+                       x_in_bf16=None, H=H, W=W, C=C, heads=heads, dh=dh,
+                       part=part, eps=eps, bias=bias_g, store=False)
+    R1_ref[0, 0] = R1.reshape(R1_ref.shape[2:])
+
+    # carried recurrent cotangent + this step's external (h_seq) cotangent
+    dh_full = (dh_s[...].reshape(T, C)
+               + dhs_ref[0, 0].astype(jnp.float32).reshape(T, C))
+    dlw_acc, dlb_acc, dR2, dhin, dcin = _lstm_bwd_chunked(
+        R2.reshape(T, C).astype(jnp.bfloat16),
+        hp_ref[0, 0].reshape(T, C),
+        cp_ref[0, 0].reshape(T, C),
+        dh_full,
+        dc_s[...].reshape(T, C),
+        lstm_w, lstm_b, T, C)
+    first = jnp.logical_and(b == 0, tr == 0)
+    _acc(dlw_ref, first, dlw_acc)
+    _acc(dlb_ref, first, dlb_acc)
+    shape = (T, C) if dense else (H, W, C)
+    dR2_ref[0, 0] = dR2.reshape(shape)
+    dh_s[...] = dhin.reshape(shape)
+    dc_s[...] = dcin.reshape(shape)
+    # constant block over t: the last write (tr = T-1, actual step 0) lands
+    dh0_ref[0] = dh_s[...]
+    dc0_ref[0] = dc_s[...]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_stage_scan_train(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w,
+                           lstm_b, h0, c0):
+    """Whole backbone-stage WINDOW (downsample LN + attention pair +
+    ConvLSTM over all T steps) as one Pallas kernel with a fused Pallas
+    VJP (three whole-window kernels).
+
+    cfg: hashable (heads, dim_head, part, eps, ds_eps, dense, interpret).
+    x_seq: [T, B, H, W, C] bf16 raw downsample-conv outputs; win/grid:
+    train-layout param tuples (``train_block_params``); h0, c0: f32.
+    Returns (h_seq [T, B, H, W, C] bf16, h_T f32, c_T f32)."""
+    h_seq, _, hT, cT = _scan_fwd_call(cfg, x_seq, ds_s, ds_b, win, grid,
+                                      lstm_w, lstm_b, h0, c0)
+    return h_seq, hT, cT
+
+
+def _scan_fwd_call(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0,
+                   c0):
+    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    T, B, H, W, C = x_seq.shape
+    kernel = functools.partial(
+        _scan_fwd_train_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+    if dense:
+        Tk = H * W
+        x_in = x_seq.reshape(T, B, Tk, C)
+        h0_in, c0_in = h0.reshape(B, Tk, C), c0.reshape(B, Tk, C)
+        seq = pl.BlockSpec((1, 1, Tk, C), lambda b, t: (t, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        img = pl.BlockSpec((1, Tk, C), lambda b, t: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        seq_shape, img_shape = (T, B, Tk, C), (B, Tk, C)
+        scratch = (Tk, C)
+        extra = (partition_bias(H, W, part, True),
+                 partition_bias(H, W, part, False))
+    else:
+        x_in, h0_in, c0_in = x_seq, h0, c0
+        seq = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (t, b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        img = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        seq_shape, img_shape = (T, B, H, W, C), (B, H, W, C)
+        scratch = (H, W, C)
+        extra = ()
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_p = 2 + len(win) + len(grid) + len(extra)
+    h_seq, c_seq, hT, cT = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[seq] + [full] * n_p + [full, full, img, img],
+        out_specs=(seq, seq, img, img),
+        out_shape=(jax.ShapeDtypeStruct(seq_shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(seq_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(img_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(img_shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM(scratch, jnp.float32),
+                        pltpu.VMEM(scratch, jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *grid, *extra, lstm_w, lstm_b, h0_in, c0_in)
+    if dense:
+        return (h_seq.reshape(T, B, H, W, C),
+                c_seq.reshape(T, B, H, W, C),
+                hT.reshape(B, H, W, C), cT.reshape(B, H, W, C))
+    return h_seq, c_seq, hT, cT
+
+
+def _scan_fwd_rule(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0,
+                   c0):
+    h_seq, c_seq, hT, cT = _scan_fwd_call(cfg, x_seq, ds_s, ds_b, win,
+                                          grid, lstm_w, lstm_b, h0, c0)
+    res = (x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0, c0, h_seq,
+           c_seq)
+    return (h_seq, hT, cT), res
+
+
+def _scan_bwd_rule(cfg, res, cot):
+    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    (x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0, c0, h_seq,
+     c_seq) = res
+    dh_seq, dhT, dcT = cot
+    T, B, H, W, C = x_seq.shape
+    # per-step carry INPUTS: what step t consumed is the step t-1 state
+    # (bf16 h is exactly the rounding the kernel applies to its carry)
+    h_prev = jnp.concatenate([h0.astype(jnp.bfloat16)[None], h_seq[:-1]],
+                             axis=0)
+    c_prev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    dh_seq = dh_seq.astype(jnp.bfloat16)
+    dhT = dhT.astype(jnp.float32)
+    dcT = dcT.astype(jnp.float32)
+
+    if dense:
+        Tk = H * W
+        rs = lambda a: a.reshape((T, B, Tk, C))
+        x_in, h_prev, c_prev, dh_in = (rs(x_seq), rs(h_prev), rs(c_prev),
+                                       rs(dh_seq))
+        dhT_in, dcT_in = dhT.reshape(B, Tk, C), dcT.reshape(B, Tk, C)
+        seq_r = pl.BlockSpec((1, 1, Tk, C),
+                             lambda b, t, T=T: (T - 1 - t, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        seq_f = pl.BlockSpec((1, 1, Tk, C), lambda b, t: (t, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        img = pl.BlockSpec((1, Tk, C), lambda b, t: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        seq_shape, img_shape = (T, B, Tk, C), (B, Tk, C)
+        scratch = (Tk, C)
+        bias_w = (partition_bias(H, W, part, True),)
+        bias_g = (partition_bias(H, W, part, False),)
+    else:
+        x_in, dh_in, dhT_in, dcT_in = x_seq, dh_seq, dhT, dcT
+        seq_r = pl.BlockSpec((1, 1, H, W, C),
+                             lambda b, t, T=T: (T - 1 - t, b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        seq_f = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (t, b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        img = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        seq_shape, img_shape = (T, B, H, W, C), (B, H, W, C)
+        scratch = (H, W, C)
+        bias_w = bias_g = ()
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fseq = jax.ShapeDtypeStruct(seq_shape, jnp.float32)
+    fimg = jax.ShapeDtypeStruct(img_shape, jnp.float32)
+    gshape = lambda ps: tuple(
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in ps)
+
+    # kernel 1 (time-reversed): fwd recompute + LSTM bwd, BPTT carry in
+    # VMEM -> R1/dR2 streams + lstm grads + (dh0, dc0)
+    k1 = functools.partial(
+        _bwd_lstm_scan_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+    n_p1 = 2 + len(win) + len(grid) + len(bias_w) + len(bias_g)
+    R1_seq, dR2_seq, dlw, dlb, dh0, dc0 = pl.pallas_call(
+        k1,
+        grid=(B, T),
+        in_specs=[seq_r] + [full] * n_p1
+        + [full, full, seq_r, seq_r, seq_r, img, img],
+        out_specs=(seq_r, seq_r, full, full, img, img),
+        out_shape=(fseq, fseq,
+                   jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
+                   fimg, fimg),
+        scratch_shapes=[pltpu.VMEM(scratch, jnp.float32),
+                        pltpu.VMEM(scratch, jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *grid, *bias_w, *bias_g, lstm_w, lstm_b,
+      h_prev, c_prev, dh_in, dhT_in, dcT_in)
+
+    # kernel 2: grid-block backward, no time recurrence -> (B, T) grid
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    k2 = functools.partial(
+        _bwd_grid_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, dense=dense, seq=True)
+    outs2 = pl.pallas_call(
+        k2,
+        grid=(B, T),
+        in_specs=[seq_f] + [full] * (len(grid) + len(bias_g)) + [seq_f],
+        out_specs=(seq_f,) + (full,) * len(grid),
+        out_shape=(fseq,) + gshape(grid),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(R1_seq, *grid, *bias_g, dR2_seq)
+    dR1_seq = outs2[0]
+    dgrid_f = outs2[1:]
+
+    # kernel 3: window-block + downsample-LN backward
+    k3 = functools.partial(
+        _bwd_window_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, seq=True)
+    outs3 = pl.pallas_call(
+        k3,
+        grid=(B, T),
+        in_specs=[seq_f, full, full] + [full] * (len(win) + len(bias_w))
+        + [seq_f],
+        out_specs=(seq_f, full, full) + (full,) * len(win),
+        out_shape=(jax.ShapeDtypeStruct(x_in.shape, jnp.bfloat16),)
+        + gshape((ds_s, ds_b)) + gshape(win),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *bias_w, dR1_seq)
+    dx = outs3[0]
+    dds_s_f, dds_b_f = outs3[1], outs3[2]
+    dwin_f = outs3[3:]
+
+    if dense:
+        dx = dx.reshape(T, B, H, W, C)
+        dh0 = dh0.reshape(B, H, W, C)
+        dc0 = dc0.reshape(B, H, W, C)
+    cast = lambda g, p: g.astype(p.dtype)
+    dwin = tuple(cast(g, p) for g, p in zip(dwin_f, win))
+    dgrid = tuple(cast(g, p) for g, p in zip(dgrid_f, grid))
+    return (dx.astype(x_seq.dtype), cast(dds_s_f, ds_s),
+            cast(dds_b_f, ds_b), dwin, dgrid, cast(dlw, lstm_w),
+            cast(dlb, lstm_b), dh0, dc0)
+
+
+fused_stage_scan_train.defvjp(_scan_fwd_rule, _scan_bwd_rule)
 
 
 def train_stage_mode(H: int, W: int, C: int,

@@ -177,9 +177,11 @@ def _hist_tile_kernel(off_ref, r_ref, x_ref, out_ref, acc, r_s, x_s, sem_r,
     jax.lax.fori_loop(0, nch, body, 0)
     # saturate + narrow in-kernel: the uint8 tile store is 4x less HBM
     # write traffic than the old f32 output (and drops the XLA min/cast
-    # epilogue pass over the padded histogram)
+    # epilogue pass over the padded histogram). Mosaic cannot lower
+    # float->unsigned directly (interpret mode accepts it) — go through
+    # int32 (exact: counts are small non-negative integers).
     out_ref[0] = jnp.minimum(acc[...], float(count_cutoff)
-                             ).astype(jnp.uint8)
+                             ).astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("bins", "height", "width",

@@ -31,8 +31,15 @@ def onecycle_schedule(cfg: TrainingConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    """The update is wrapped in ``optax.flatten`` so clip + AdamW run on one
+    raveled f32 vector: a handful of large fused elementwise kernels instead
+    of ~250 param leaves x 3 transforms of tiny ones. The per-leaf form was
+    kernel-launch bound on TPU (11.6 ms/step for a 4.1M-param model whose
+    whole update touches <100 MB of HBM — see docs/PERF.md round-4
+    breakdown); the math is identical (same elementwise ops, same global
+    norm, modulo float summation order)."""
+    return optax.flatten(optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip_val),
         optax.adamw(learning_rate=onecycle_schedule(cfg),
                     weight_decay=cfg.weight_decay),
-    )
+    ))

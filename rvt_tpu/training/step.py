@@ -21,6 +21,7 @@ import functools
 from typing import Any, NamedTuple, Tuple
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -142,7 +143,8 @@ def pad_ev_repr(ev: Array, target_hw: Tuple[int, int], dtype,
 def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
                     optimizer: optax.GradientTransformation,
                     donate: bool = True, mesh=None,
-                    with_detections: bool = False):
+                    with_detections: bool = False,
+                    with_param_metrics: bool = False):
     """``mesh``: the data-parallel mesh the step will run over. Required
     for the fused Pallas backbone paths to engage on >1 device (they are
     dispatched via shard_map, see models/detector.py:scan_backbone);
@@ -154,7 +156,13 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
     half of the reference's train-time detection metrics
     (modules/detection.py:175-205, which postprocesses training
     predictions every step). Compiled as a separate step so the extra NMS
-    work only runs on the trainer's detection-metric cadence."""
+    work only runs on the trainer's detection-metric cadence.
+
+    ``with_param_metrics``: also emit per-parameter mean-|grad| and
+    mean-|weight| scalars (reference GradFlowLogCallback + logger.watch).
+    Off by default: the ~2x250 per-leaf reductions are tiny kernel-launch-
+    bound ops that cost real step time on TPU, so the trainer compiles
+    this variant separately and runs it only on the gradflow cadence."""
     grid_np, stride_np = head_grid(cfg)
     grid = jnp.asarray(grid_np)
     anchor_strides = jnp.asarray(stride_np)
@@ -233,20 +241,21 @@ def make_train_step(model: RVTDetector, cfg: ExperimentConfig,
         final_states = jax.tree.map(lambda x: x.astype(jnp.float32),
                                     final_states)
         metrics = {k: v for k, v in losses.items()}
-        metrics["grad_norm"] = optax.global_norm(grads)
-        # per-parameter mean |grad| (reference GradFlowLogCallback,
-        # callbacks/gradflow.py:17-51). One tiny fused reduction per leaf;
-        # the trainer fetches these only on its gradflow logging cadence.
-        for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
-            name = "/".join(str(getattr(p, "key", p)) for p in path)
-            metrics[f"gradflow/{name}"] = jnp.mean(jnp.abs(leaf))
-        # per-parameter weight magnitudes (the scalar core of the
-        # reference's logger.watch weight histograms, train.py:104);
-        # fetched on the same trainer cadence as gradflow
-        for path, leaf in jax.tree_util.tree_flatten_with_path(
-                new_params)[0]:
-            name = "/".join(str(getattr(p, "key", p)) for p in path)
-            metrics[f"weights/{name}"] = jnp.mean(jnp.abs(leaf))
+        # one ravel (XLA CSEs it against the optimizer's own flatten) ->
+        # a single large reduction, instead of ~250 per-leaf norms
+        metrics["grad_norm"] = jnp.linalg.norm(
+            jax.flatten_util.ravel_pytree(grads)[0])
+        if with_param_metrics:
+            # per-parameter mean |grad| (reference GradFlowLogCallback,
+            # callbacks/gradflow.py:17-51) + weight magnitudes (the scalar
+            # core of logger.watch's weight histograms, train.py:104)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                metrics[f"gradflow/{name}"] = jnp.mean(jnp.abs(leaf))
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    new_params)[0]:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                metrics[f"weights/{name}"] = jnp.mean(jnp.abs(leaf))
         if not with_detections:
             return new_state, final_states, metrics
 

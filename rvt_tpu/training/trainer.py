@@ -83,6 +83,9 @@ class Trainer:
         self.state = replicate_tree(self.mesh, self.state)
         self.train_step = make_train_step(self.model, cfg, self.optimizer,
                                           mesh=self.mesh)
+        # step variants (with_detections / with_param_metrics) compiled
+        # lazily on their cadences; the hot step stays lean
+        self._steps = {(False, False): self.train_step}
         self.ckpt = CheckpointManager(Path(trainer_cfg.ckpt_dir),
                                       monitor=trainer_cfg.monitor)
         self.logger = MetricsLogger(Path(trainer_cfg.ckpt_dir) / "metrics.jsonl")
@@ -90,9 +93,15 @@ class Trainer:
         # step counter tracked on host: fetching state.step every iteration
         # blocks dispatch (~27 ms RPC on the tunneled TPU vs a ~180 ms step)
         self._host_step = 0
-        # train-time detection metrics (built lazily on first cadence hit)
-        self._det_train_step = None
         self._train_evaluator = None
+
+    def _get_step(self, use_det: bool, use_pm: bool):
+        key = (use_det, use_pm)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.model, self.cfg, self.optimizer, mesh=self.mesh,
+                with_detections=use_det, with_param_metrics=use_pm)
+        return self._steps[key]
 
     # -- checkpoint/resume ----------------------------------------------------
 
@@ -246,31 +255,27 @@ class Trainer:
                 r = (step_idx + 1) % det_every
                 n_acc = max(1, self.tcfg.detection_metrics_n_batches)
                 use_det = r == 0 or r > det_every - n_acc
+            gf_every = self.tcfg.gradflow_every_n_steps
+            use_pm = bool(gf_every) and (step_idx + 1) % gf_every == 0
+            step_fn = self._get_step(use_det, use_pm)
             if use_det:
-                if self._det_train_step is None:
-                    self._det_train_step = make_train_step(
-                        self.model, cfg, self.optimizer, mesh=self.mesh,
-                        with_detections=True)
-                self.state, self._lstm_states, metrics, det_out = \
-                    self._det_train_step(self.state, self._lstm_states, ev,
-                                         labels, label_mask, frame_valid,
-                                         is_first, token_mask)
+                self.state, self._lstm_states, metrics, det_out = step_fn(
+                    self.state, self._lstm_states, ev, labels, label_mask,
+                    frame_valid, is_first, token_mask)
                 self._consume_train_detections(batch, det_out,
                                                evaluate=(r == 0),
                                                step=step_idx + 1)
             else:
-                self.state, self._lstm_states, metrics = self.train_step(
+                self.state, self._lstm_states, metrics = step_fn(
                     self.state, self._lstm_states, ev, labels, label_mask,
                     frame_valid, is_first, token_mask)
             frames_done += batch.batch_size * batch.seq_len
             self._host_step = step_idx + 1
 
             if (step_idx + 1) % self.tcfg.log_every_n_steps == 0:
-                gf_every = self.tcfg.gradflow_every_n_steps
-                keep_gf = gf_every and (step_idx + 1) % gf_every == 0
                 metrics = {k: v for k, v in metrics.items()
-                           if keep_gf or not k.startswith(("gradflow/",
-                                                           "weights/"))}
+                           if use_pm or not k.startswith(("gradflow/",
+                                                          "weights/"))}
                 metrics = {k: float(v)
                            for k, v in jax.device_get(metrics).items()}
                 dt = time.perf_counter() - t_start

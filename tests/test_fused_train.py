@@ -163,3 +163,80 @@ def test_fused_train_scan_backbone_matches_xla():
         s = max(np.abs(a).max(), 1e-4)
         err = np.abs(a - b).max() / s
         assert err < 8e-2, ("/".join(str(q) for q in path), err, s)
+
+
+@pytest.mark.parametrize("H,W,C,part,dh", [
+    (16, 10, 32, (8, 10), 32),   # partitioned mode
+    (16, 24, 32, (2, 3), 32),    # masked-dense mode
+])
+def test_stage_scan_matches_per_step(H, W, C, part, dh):
+    """The whole-window train scan (fused_stage_scan_train: time loop in
+    the Pallas grid, weights staged once) vs a lax.scan over the per-step
+    kernels. Forward must be BITWISE equal (identical per-step math; the
+    saved bf16 h_seq is exactly the carry rounding the per-step kernel
+    applies). Gradients agree to ~T bf16 ulps: the per-step path's scan
+    transpose accumulates parameter cotangents across time in bf16
+    (custom_vjp cotangents carry the primal dtype), while the scan kernel
+    accumulates in f32 VMEM and rounds once — strictly tighter."""
+    from rvt_tpu.ops.fused_train import (fused_stage_scan_train,
+                                         fused_stage_step_train,
+                                         train_block_params,
+                                         train_stage_mode)
+
+    mode = train_stage_mode(H, W, C, part)
+    assert mode is not None
+    geo = dict(H=H, W=W, part=part, dh=dh)
+    pair, cell, pv, cv = _stage_params(geo, C, key=3)
+    win = train_block_params(pv["params"]["att_window"], True)
+    grd = train_block_params(pv["params"]["att_grid"], False)
+    lp = cv["params"]["conv1x1"]
+    lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+    lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+    rng = np.random.RandomState(1)
+    T, B = 4, 2
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C), jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+    ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+    eps = 1e-5
+    cfg = (C // dh, dh, part, eps, eps, mode == "dense", True)
+    wh = jnp.asarray(rng.randn(T, B, H, W, C), jnp.float32)
+    wT = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+
+    def outs_scan(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0):
+        return fused_stage_scan_train(cfg, x_seq, ds_s, ds_b, win, grd,
+                                      lw, lb, h0, c0)
+
+    def outs_step(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0):
+        def body(carry, x_t):
+            h, c = carry
+            h_t, c_t = fused_stage_step_train(cfg, x_t, ds_s, ds_b, win,
+                                              grd, lw, lb, h, c)
+            return (h_t, c_t), h_t.astype(jnp.bfloat16)
+        (hT, cT), h_seq = jax.lax.scan(body, (h0, c0), x_seq)
+        return h_seq, hT, cT
+
+    args = (x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+    hs1, hT1, cT1 = outs_scan(*args)
+    hs2, hT2, cT2 = outs_step(*args)
+    assert float(jnp.max(jnp.abs(hs1.astype(jnp.float32)
+                                 - hs2.astype(jnp.float32)))) == 0.0
+    assert float(jnp.max(jnp.abs(hT1 - hT2))) == 0.0
+    assert float(jnp.max(jnp.abs(cT1 - cT2))) == 0.0
+
+    def loss(outs_fn, *a):
+        h_seq, hT, cT = outs_fn(*a)
+        return (jnp.sum(h_seq.astype(jnp.float32) * wh)
+                + jnp.sum(hT * wT) + 0.5 * jnp.sum(jnp.tanh(cT) * wT))
+
+    g1 = jax.grad(lambda *a: loss(outs_scan, *a),
+                  argnums=tuple(range(9)))(*args)
+    g2 = jax.grad(lambda *a: loss(outs_step, *a),
+                  argnums=tuple(range(9)))(*args)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = max(np.abs(b).max(), 1e-3)
+        # bound: per-step bf16 accumulation noise, ~T bf16 ulps
+        assert np.abs(a - b).max() / s < 2e-2

@@ -159,7 +159,8 @@ def test_train_step_with_token_mask():
     optimizer = optax.adamw(1e-3)
     state = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
     assert "mask_token" in state.params["backbone"]["stage1"]
-    step = make_train_step(model, cfg, optimizer, donate=False)
+    step = make_train_step(model, cfg, optimizer, donate=False,
+                           with_param_metrics=True)
     B = 2
     ev, labels, mask, fv = _batch(cfg, B)
     T = cfg.dataset.sequence_length

@@ -1,0 +1,129 @@
+"""Profile the NMS postprocess paths under controlled score sparsity.
+
+Closes the round-3 verdict gap: bench.py measures ``pre_nms_topk=512``
+because random-init weights flood the confidence filter, so the shipped
+exact default (``pre_nms_topk=0``) had never been timed under the score
+distribution a *trained* detector produces (tens of boxes above threshold,
+the ``lax.cond`` fast path) nor under the dense-scene overflow branch
+(full [A, A] IoU matrix).
+
+This tool synthesizes decoded head outputs [B, A, 5+C] where exactly
+``n_above`` anchors per image clear the confidence threshold (clustered
+boxes so NMS has real suppression work), and times
+``rvt_tpu.ops.boxes.postprocess`` at the deployment settings:
+
+  * exact path (topk=0), n_above << 512  -> fast branch (trained-like)
+  * exact path (topk=0), n_above  > 512  -> overflow branch (dense scene)
+  * topk=512 knob, for comparison with bench.py
+
+Timing protocol: iterations are chained through a data dependency on the
+previous result's checksum (the tunneled backend's block_until_ready
+returns early, CLAUDE.md).
+
+Run: python -m tools.profile_nms [--dataset gen1] [--batch 8] [--iters 30]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvt_tpu.config import preset
+from rvt_tpu.ops.boxes import postprocess
+
+
+def synth_predictions(rng: np.random.RandomState, B: int, A: int, C: int,
+                      n_above: float, conf_thre: float) -> np.ndarray:
+    """Decoded [B, A, 5+C] with ~n_above anchors/image above threshold.
+
+    Above-threshold boxes are drawn around a handful of cluster centres so
+    the IoU matrix has real suppression chains (the while_loop in
+    _greedy_nms_mask runs its realistic ~3-8 Jacobi rounds, not 1)."""
+    pred = np.zeros((B, A, 5 + C), np.float32)
+    # boxes: cxcywh in a 640x384 image
+    pred[..., 0] = rng.uniform(0, 640, (B, A))
+    pred[..., 1] = rng.uniform(0, 384, (B, A))
+    pred[..., 2] = rng.uniform(8, 96, (B, A))
+    pred[..., 3] = rng.uniform(8, 96, (B, A))
+    # scores: everything far below threshold by default
+    pred[..., 4] = rng.uniform(0.0, conf_thre * 0.2, (B, A))
+    pred[..., 5:] = rng.uniform(0.3, 1.0, (B, A, C))
+    n = int(min(n_above, A))
+    for b in range(B):
+        idx = rng.choice(A, size=n, replace=False)
+        # ~8 clusters of overlapping boxes -> real NMS suppression work
+        centres = rng.uniform(64, 576, (8, 2))
+        which = rng.randint(0, 8, n)
+        pred[b, idx, 0] = centres[which, 0] + rng.normal(0, 6, n)
+        pred[b, idx, 1] = centres[which, 1] + rng.normal(0, 6, n)
+        pred[b, idx, 2] = rng.uniform(24, 64, n)
+        pred[b, idx, 3] = rng.uniform(24, 64, n)
+        pred[b, idx, 4] = rng.uniform(np.sqrt(conf_thre) * 1.05, 1.0, n)
+    return pred
+
+
+def time_path(pred: jnp.ndarray, num_classes: int, conf: float, nms: float,
+              topk: int, max_det: int, iters: int) -> float:
+    @jax.jit
+    def step(p, carry):
+        # chain: previous checksum perturbs an input by a denormal-scale
+        # amount (cannot be constant-folded; numerically inert)
+        p = p + carry * 1e-38
+        dets, valid = postprocess(p, num_classes, conf, nms,
+                                  pre_nms_topk=topk, max_detections=max_det)
+        return jnp.sum(jnp.where(valid[..., None], dets, 0.0))
+
+    carry = jnp.float32(0.0)
+    for _ in range(3):  # warmup (compiles both cond branches)
+        carry = step(pred, carry)
+    float(carry)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(pred, carry)
+    float(carry)  # force completion of the whole chain
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="gen1", choices=("gen1", "gen4"))
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    cfg = preset(args.dataset, "base")
+    pp = cfg.model.postprocess
+    H, W = cfg.model.backbone.in_res_hw
+    A = sum((H // s) * (W // s) for s in (8, 16, 32))
+    C = cfg.model.head.num_classes
+    rng = np.random.RandomState(0)
+    print(f"{args.dataset}: A={A} anchors, B={args.batch}, C={C}, "
+          f"conf={pp.confidence_threshold}, nms={pp.nms_threshold}, "
+          f"platform={jax.devices()[0].platform}")
+
+    scenarios = [
+        ("trained-like sparse (24/img)", 24),
+        ("busy scene (160/img)", 160),
+        ("fast-path ceiling (500/img)", 500),
+        ("overflow/dense (900/img)", 900),
+        ("random-init flood (all)", A),
+    ]
+    header = f"{'scenario':34s} {'exact topk=0':>14s} {'topk=512':>10s}"
+    print(header)
+    for name, n_above in scenarios:
+        pred = jnp.asarray(synth_predictions(
+            rng, args.batch, A, C, n_above, pp.confidence_threshold))
+        ms_exact = time_path(pred, C, pp.confidence_threshold,
+                             pp.nms_threshold, 0, pp.max_detections,
+                             args.iters)
+        ms_512 = time_path(pred, C, pp.confidence_threshold,
+                           pp.nms_threshold, 512, pp.max_detections,
+                           args.iters)
+        print(f"{name:34s} {ms_exact:11.2f} ms {ms_512:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -386,6 +386,95 @@ def _verify_fused_train() -> int:
         failures += not ok
         print(f"fused_train/{H}x{W}x{C} [{mode}]: "
               f"{'OK' if ok else 'MISMATCH'} (worst rel err={worst:.2e})")
+    failures += _verify_fused_train_scan()
+    return failures
+
+
+def _verify_fused_train_scan() -> int:
+    """Lowered whole-window train scan (fused_stage_scan_train): forward
+    bitwise + gradient parity vs a lax.scan over the per-step kernels at
+    RVT-T gen1 stage-1 geometry, plus a window fwd+bwd time comparison.
+    Gradient tolerance 2e-2: the per-step reference accumulates parameter
+    cotangents across time in bf16 (custom_vjp cotangent dtype), the scan
+    kernel in f32 — the scan side is the tighter one."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvt_tpu.config import AttentionConfig, LstmConfig
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
+    from rvt_tpu.ops.fused_train import (fused_stage_scan_train,
+                                         fused_stage_step_train,
+                                         train_block_params,
+                                         train_stage_mode)
+
+    failures = 0
+    for H, W, C, part, dh, T in [(64, 80, 32, (8, 10), 32, 21),
+                                 (16, 24, 32, (2, 3), 32, 8)]:
+        mode = train_stage_mode(H, W, C, part)
+        assert mode is not None, (H, W, part)
+        pair = MaxVitAttentionPair(dim=C, cfg=AttentionConfig(
+            partition_size=part, dim_head=dh), skip_first_norm=True,
+            dtype=jnp.bfloat16, fused=False)
+        cell = DWSConvLSTM2d(dim=C, cfg=LstmConfig(dws_conv=False),
+                             dtype=jnp.bfloat16, fused=False)
+        rng = np.random.RandomState(0)
+        B = 8
+        x0 = jnp.zeros((1, H, W, C), jnp.bfloat16)
+        hz = jnp.zeros((1, H, W, C), jnp.float32)
+        pv = pair.init(jax.random.PRNGKey(0), x0)
+        cv = cell.init(jax.random.PRNGKey(1), x0, (hz, hz))
+        win = train_block_params(pv["params"]["att_window"], True)
+        grd = train_block_params(pv["params"]["att_grid"], False)
+        lp = cv["params"]["conv1x1"]
+        lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+        lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+        x_seq = jnp.asarray(rng.randn(T, B, H, W, C), jnp.bfloat16)
+        h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+        c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+        wh = jnp.asarray(rng.randn(T, B, H, W, C) * 0.05, jnp.float32)
+        ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+        ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+        eps = 1e-5
+        cfg = (C // dh, dh, part, eps, eps, mode == "dense", False)
+
+        def loss_scan(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0):
+            h_seq, hT, cT = fused_stage_scan_train(
+                cfg, x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+            return (jnp.sum(h_seq.astype(jnp.float32) * wh)
+                    + jnp.sum(hT) + jnp.sum(cT))
+
+        def loss_step(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0):
+            def body(carry, x_t):
+                h, c = carry
+                h_t, c_t = fused_stage_step_train(
+                    cfg, x_t, ds_s, ds_b, win, grd, lw, lb, h, c)
+                return (h_t, c_t), h_t.astype(jnp.bfloat16)
+            (hT, cT), h_seq = jax.lax.scan(body, (h0, c0), x_seq)
+            return (jnp.sum(h_seq.astype(jnp.float32) * wh)
+                    + jnp.sum(hT) + jnp.sum(cT))
+
+        args = (x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+        argnums = tuple(range(9))
+        vg_scan = jax.jit(jax.value_and_grad(loss_scan, argnums=argnums))
+        vg_step = jax.jit(jax.value_and_grad(loss_step, argnums=argnums))
+        v1, g1 = vg_scan(*args)
+        v2, g2 = vg_step(*args)
+        worst = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            worst = max(worst, np.abs(a - b).max()
+                        / max(np.abs(b).max(), 1e-3))
+        ok = worst < 2e-2 and abs(float(v1) - float(v2)) < 1e-2 * max(
+            abs(float(v2)), 1.0)
+        failures += not ok
+        t_scan = timeit(lambda *a: vg_scan(*a)[0], *args)
+        t_step = timeit(lambda *a: vg_step(*a)[0], *args)
+        print(f"fused_train_scan/{H}x{W}x{C}xT{T} [{mode}]: "
+              f"{'OK' if ok else 'MISMATCH'} (worst rel err={worst:.2e}) "
+              f"scan {t_scan*1e3:.2f} ms vs per-step {t_step*1e3:.2f} ms "
+              f"per window fwd+bwd")
     return failures
 
 
