@@ -13,10 +13,16 @@ only ``is_main_process()`` writes ``<outdir>/ckpt_rank<pid>``.
 Scenarios:
   * "interleave" — frames dealt round-robin over processes,
   * "empty" — process 0 holds everything; higher ranks contribute an
-    EMPTY buffer (pins the zero-length-payload edge of allgather_bytes).
+    EMPTY buffer (pins the zero-length-payload edge of allgather_bytes),
+  * "train" — a REAL distributed train step: a 2-process dp mesh (one
+    CPU device per process), one ``make_train_step`` on deterministic
+    data; each process writes the md5 of its updated replicated params
+    (the test asserts they are bit-identical — the gradient psum crossed
+    a process boundary and both replicas applied the same update).
 
 Reference behavior being reproduced: DDP rank>0 metric sync + rank-0
-checkpointing (modules/detection.py:319-334, train.py:60-67).
+checkpointing (modules/detection.py:319-334, train.py:60-67) and the
+DDP gradient all-reduce itself (train.py:60-67).
 """
 from __future__ import annotations
 
@@ -80,6 +86,69 @@ def single_process_oracle(n_frames: int = 10):
     return ev.evaluate_buffer(64, 80)
 
 
+def run_train_scenario(pid: int, nprocs: int, out) -> None:
+    """One REAL distributed TBPTT train step over a mesh that spans
+    OS-process boundaries (gloo collectives): the gradient psum XLA
+    inserts for the dp-sharded batch is the DDP all-reduce equivalent
+    (reference train.py:60-67). Writes md5(params_after_step) + loss."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector
+    from rvt_tpu.models.backbone import zero_states
+    from rvt_tpu.parallel.mesh import (make_mesh, replicate_tree,
+                                       shard_batch_arrays, shard_states)
+    from rvt_tpu.training import (init_train_state, make_optimizer,
+                                  make_train_step)
+
+    cfg = preset("gen1", "tiny", resolution_hw=(32, 32), sequence_length=2,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    model = RVTDetector(cfg=cfg.model)
+    optimizer = make_optimizer(cfg.training)
+    # identical deterministic init on every process (same seed, same CPU)
+    state = init_train_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    mesh = make_mesh()  # all global devices: nprocs x 1 cpu
+    assert mesh.size == nprocs, (mesh.size, nprocs)
+    state = replicate_tree(mesh, state)
+
+    B, T = 2 * nprocs, cfg.dataset.sequence_length
+    H, W = cfg.dataset.dataloading_hw
+    M = cfg.dataset.max_labels_per_frame
+    rng = np.random.RandomState(7)
+    # every process builds the identical GLOBAL batch; shard_batch_arrays
+    # places each process's batch rows on its local device
+    ev = rng.randint(0, 4, size=(B, T, H, W, 20)).astype(np.float32)
+    labels = np.zeros((B, T, M, 7), np.float32)
+    label_mask = np.zeros((B, T, M), bool)
+    labels[:, -1, 0] = (0, 8.0, 8.0, 12.0, 12.0, 1.0, 1.0)
+    label_mask[:, -1, 0] = True
+    ev, labels, label_mask, fv, is_first = shard_batch_arrays(
+        mesh, ev, labels, label_mask, label_mask.any(-1),
+        np.ones((B,), bool))
+    states = shard_states(mesh, zero_states(cfg.model.backbone, B))
+
+    step = make_train_step(model, cfg, optimizer, donate=False, mesh=mesh)
+    new_state, _, metrics = step(state, states, ev, labels, label_mask,
+                                 fv, is_first)
+    loss = float(metrics["loss"])
+
+    h = hashlib.md5()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            new_state.params)[0]:
+        h.update("/".join(str(getattr(p, "key", p)) for p in path).encode())
+        # replicated output: every process holds a full local copy
+        h.update(np.ascontiguousarray(
+            np.asarray(jax.device_get(leaf.addressable_data(0)))).tobytes())
+    (out / f"metrics_{pid}.json").write_text(json.dumps(
+        {"params_md5": h.hexdigest(), "loss": loss,
+         "grad_norm": float(metrics["grad_norm"]),
+         "process_count": jax.process_count()}))
+    print(f"[p{pid}] train done", flush=True)
+
+
 def main() -> None:
     port, pid, nprocs, outdir, scenario = sys.argv[1:6]
     pid, nprocs = int(pid), int(nprocs)
@@ -98,6 +167,9 @@ def main() -> None:
                                             merge_evaluator_buffers)
 
     out = Path(outdir)
+    if scenario == "train":
+        run_train_scenario(pid, nprocs, out)
+        return
     ev = build_evaluator(pid, nprocs, scenario)
     merge_evaluator_buffers(ev)  # the REAL allgather path
     metrics = ev.evaluate_buffer(64, 80)

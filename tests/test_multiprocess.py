@@ -52,7 +52,10 @@ def _run_workers(tmp_path, scenario: str, nprocs: int = 2):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # generous: the "train" scenario cold-compiles a full train
+            # step in both processes on this 1-core host (warm-cache runs
+            # take ~1 min; rvt_tpu enables the persistent compile cache)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -85,3 +88,24 @@ def test_two_process_eval_merge(tmp_path, scenario):
     # rank-0-only checkpoint writes
     ckpts = sorted(p.name for p in tmp_path.glob("ckpt_rank*"))
     assert ckpts == ["ckpt_rank0"]
+
+
+def test_two_process_train_step(tmp_path):
+    """A REAL distributed train step: 2 OS processes, one CPU device
+    each, one dp mesh across them — ``make_train_step`` runs with the
+    gradient psum crossing the process boundary (gloo). Both processes
+    must end the step with BIT-IDENTICAL updated params (the distributed
+    equivalent of DDP keeping replicas in sync, train.py:60-67)."""
+    _run_workers(tmp_path, "train")
+
+    results = []
+    for i in range(2):
+        f = tmp_path / f"metrics_{i}.json"
+        assert f.exists(), f"worker {i} wrote no metrics"
+        results.append(json.loads(f.read_text()))
+    for m in results:
+        assert m["process_count"] == 2
+        assert np.isfinite(m["loss"]) and m["loss"] > 0
+        assert np.isfinite(m["grad_norm"]) and m["grad_norm"] > 0
+    assert results[0]["params_md5"] == results[1]["params_md5"]
+    assert results[0]["loss"] == results[1]["loss"]
