@@ -403,14 +403,22 @@ def process_recording(npy_file: Path, h5_file: Path, out_dir: Path,
     else:
         channels, dtype = bins, "int8"
 
-    if compression == "blosc-zstd":
+    if compression.startswith("blosc-"):
         from rvt_tpu.data import blosc_h5
 
         assert blosc_h5.register_plugin(), \
             "blosc HDF5 plugin unavailable (build native/libh5blosc.so) — " \
             "use --compression gzip"
-        comp_kwargs = blosc_h5.blosc_opts(complevel=1, complib="blosc:zstd",
-                                          shuffle="byte")
+        # blosc-lz4 trades ~1.5-2x larger files for several-x faster host
+        # decode (docs/PERF.md round-5 codec table) — the deployment
+        # choice when the input pipeline, not storage, is the bottleneck.
+        # Readers need no flag: the codec is recorded per chunk.
+        comp_kwargs = blosc_h5.blosc_opts(
+            complevel=1, complib="blosc:" + compression[6:], shuffle="byte")
+    elif compression == "none":
+        # raw uint8/int8 chunks: zero decode cost, ~12x the bytes of
+        # blosc-zstd at gen1 geometry
+        comp_kwargs = {}
     else:
         assert compression == "gzip", compression
         comp_kwargs = {"compression": "gzip", "compression_opts": 1,
@@ -481,7 +489,11 @@ def main() -> None:
                     help="saturate histogram counts at the cutoff instead of "
                          "the reference's uint8 wraparound accumulation")
     ap.add_argument("--compression", default="blosc-zstd",
-                    choices=["blosc-zstd", "gzip"])
+                    choices=["blosc-zstd", "blosc-lz4", "gzip", "none"],
+                    help="blosc-zstd matches the published datasets; "
+                         "blosc-lz4 decodes several-x faster at ~1.5-2x "
+                         "the size (feeds more device throughput per host "
+                         "core); none = raw chunks (no decode cost)")
     args = ap.parse_args()
 
     kwargs = dict(

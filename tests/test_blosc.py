@@ -34,6 +34,23 @@ def test_plugin_roundtrip_reference_opts(tmp_path):
         np.testing.assert_array_equal(f["data"][:], data)
 
 
+def test_plugin_roundtrip_lz4_and_fallback(tmp_path):
+    """blosc-lz4 (the fast-decode deployment codec, cli/preprocess.py
+    --compression blosc-lz4): plugin round-trip + ctypes chunk-reader
+    interop — the codec travels in the chunk header, so readers need no
+    flag."""
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 256, size=(6, 20, 24, 32)).astype(np.uint8)
+    p = tmp_path / "lz4.h5"
+    _write(p, data, **blosc_h5.blosc_opts(1, "blosc:lz4", "byte"))
+    with h5py.File(str(p), "r") as f:
+        ds = f["data"]
+        assert blosc_h5.dataset_uses_blosc(ds)
+        np.testing.assert_array_equal(ds[:], data)
+        fallback = blosc_h5.BloscChunkDataset(ds)
+        np.testing.assert_array_equal(fallback[1:5], data[1:5])
+
+
 def test_plugin_roundtrip_int8(tmp_path):
     rng = np.random.default_rng(1)
     data = rng.integers(-128, 128, size=(4, 10, 16, 20)).astype(np.int8)

@@ -36,15 +36,24 @@ BBOX_DTYPE = np.dtype({
 
 
 def make_dataset(root: Path, n_rec: int, frames: int, hw=(240, 304),
-                 bins=10, density=0.05, seed=0) -> None:
+                 bins=10, density=0.05, seed=0,
+                 codec: str = "blosc-zstd") -> None:
     """Synthetic preprocessed recordings in the published on-disk format
     (sequence.py docstring): sparse uint8 histograms at event-data-like
-    density so blosc-zstd decode cost is realistic."""
+    density so decode cost is realistic. ``codec``: blosc-zstd (the
+    published format), blosc-lz4, or none (raw chunks) — the
+    cli/preprocess.py --compression choices."""
     import h5py
 
     from rvt_tpu.data import blosc_h5
 
-    assert blosc_h5.register_plugin(), "build native/ first (make -C native)"
+    if codec == "none":
+        comp_kwargs = {}
+    else:
+        assert blosc_h5.register_plugin(), \
+            "build native/ first (make -C native)"
+        comp_kwargs = blosc_h5.blosc_opts(complevel=1,
+                                          complib="blosc:" + codec[6:])
     H, W = hw
     C = 2 * bins
     for r in range(n_rec):
@@ -57,7 +66,7 @@ def make_dataset(root: Path, n_rec: int, frames: int, hw=(240, 304),
         with h5py.File(str(repr_dir / "event_representations.h5"), "w") as f:
             ds = f.create_dataset("data", shape=(frames, C, H, W),
                                   dtype=np.uint8, chunks=(1, C, H, W),
-                                  **blosc_h5.blosc_opts())
+                                  **comp_kwargs)
             for t in range(frames):
                 fr = np.zeros((C, H, W), np.uint8)
                 n = int(density * fr.size)
@@ -92,6 +101,10 @@ def main() -> None:
     ap.add_argument("--seq_len", type=int, default=21)
     ap.add_argument("--workers", type=int, nargs="*", default=[0, 1, 2, 4])
     ap.add_argument("--density", type=float, default=0.05)
+    ap.add_argument("--codec", default="blosc-zstd",
+                    choices=["blosc-zstd", "blosc-lz4", "none"],
+                    help="on-disk codec of the synthetic dataset (the "
+                         "cli/preprocess.py --compression choices)")
     ap.add_argument("--device", action="store_true",
                     help="add s2d transform + jax.device_put stages")
     args = ap.parse_args()
@@ -100,7 +113,7 @@ def main() -> None:
     from rvt_tpu.data.sequence import Recording, StreamView
     from rvt_tpu.data.streaming import EvalStreamScheduler
 
-    root = Path(args.dir)
+    root = Path(args.dir) / args.codec
     marker = root / f".built_{args.recordings}_{args.frames}_{args.density}"
     if not marker.exists():
         import shutil
@@ -110,9 +123,10 @@ def main() -> None:
         root.mkdir(parents=True)
         t0 = time.perf_counter()
         make_dataset(root, args.recordings, args.frames,
-                     density=args.density)
+                     density=args.density, codec=args.codec)
         marker.touch()
-        print(f"built dataset in {time.perf_counter() - t0:.1f}s", flush=True)
+        print(f"built {args.codec} dataset in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     frame_bytes = 20 * 240 * 304
     h5_bytes = sum(f.stat().st_size for f in root.rglob("*.h5"))
@@ -191,6 +205,9 @@ def main() -> None:
     best = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({"metric": "host_input_frames_per_s",
                       "value": round(best[1], 1), "config": best[0],
+                      "codec": args.codec,
+                      "kib_per_frame": round(h5_bytes / total_frames / 2**10,
+                                             1),
                       "serial": round(results.get("serial scheduler", 0), 1)}))
 
 
