@@ -31,6 +31,9 @@ BATCH = 8
 SEQ_LEN = 21  # gen1 TBPTT window
 WARMUP = 2
 ITERS = 20
+# v5e peak dense bf16 (nominal; a big calibration matmul reaches
+# ~182 TFLOP/s on this chip, docs/PERF.md round-1 table)
+V5E_PEAK_TFLOPS = 197.0
 
 
 def _measure(dataset: str, raw_hw, seq_len: int, label_every: int) -> float:
@@ -90,23 +93,39 @@ def _measure(dataset: str, raw_hw, seq_len: int, label_every: int) -> float:
     return BATCH * seq_len * ITERS / dt
 
 
+def _mfu(dataset: str, fps: float) -> tuple:
+    """(achieved TFLOP/s, % of v5e bf16 peak) at this frame rate, using
+    the analytic per-frame model FLOPs (utils/flops.py, cross-checked
+    against XLA cost analysis in tests/test_model_misc.py)."""
+    from rvt_tpu.config import preset
+    from rvt_tpu.utils.flops import detector_flops_per_frame
+
+    per_frame = detector_flops_per_frame(preset(dataset, "base").model)
+    tflops = fps * per_frame["total"] / 1e12
+    return round(tflops, 2), round(100.0 * tflops / V5E_PEAK_TFLOPS, 2)
+
+
 def main() -> None:
     import sys
 
     fps = _measure("gen1", (240, 304), SEQ_LEN, 5)
     print(f"gen1: {fps:.1f} f/s", file=sys.stderr, flush=True)
+    tflops, mfu_pct = _mfu("gen1", fps)
     out = {
         "metric": "rvt_b_gen1_streaming_inference_throughput_bf16",
         "value": round(fps, 2),
         "unit": "event-frames/s/chip",
         "vs_baseline": round(fps / TARGET_FPS, 4),
+        "tflops": tflops,
+        "mfu_pct": mfu_pct,
     }
     # secondary surface: gen4 (1 Mpx ds2, 384x640 model, 5-frame window).
     # Never let it take down the primary metric line (the remote compile
     # helper occasionally returns transient 500s/SIGKILLs).
     try:
-        out["gen4_streaming_fps"] = round(
-            _measure("gen4", (360, 640), 5, 2), 2)
+        g4 = _measure("gen4", (360, 640), 5, 2)
+        out["gen4_streaming_fps"] = round(g4, 2)
+        out["gen4_tflops"], out["gen4_mfu_pct"] = _mfu("gen4", g4)
     except Exception as e:  # pragma: no cover - transient-compile guard
         out["gen4_error"] = type(e).__name__
     print(json.dumps(out))

@@ -79,3 +79,39 @@ def test_token_masking_through_scan_backbone():
     feats_c, _ = scan_backbone(model, variables, ev_a, states, mask_none,
                                remat=False)
     assert not np.array_equal(np.asarray(feats_a[0]), np.asarray(feats_c[0]))
+
+
+def test_analytic_flops_match_xla_cost_analysis():
+    """The MFU numerator (utils/flops.py) must track XLA's own HLO flop
+    count for the full detector forward. The analytic count excludes
+    elementwise/norm work (standard MFU practice), so it sits slightly
+    BELOW XLA's; the stem-conv padding treatment differs slightly the
+    other way. Bound: within 10% of XLA, and not above it by more than
+    the conv-padding slack."""
+    import jax
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import init_detector
+    from rvt_tpu.models.backbone import zero_states
+    from rvt_tpu.utils.flops import detector_flops_per_frame
+
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=2,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    model, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                     batch_size=1)
+    H, W = cfg.model.backbone.in_res_hw
+    x = jnp.zeros((1, H, W, 20), jnp.float32)
+    states = zero_states(cfg.model.backbone, 1)
+
+    def fwd(variables, x, states):
+        preds, _ = model.apply(variables, x, states)
+        return preds
+
+    compiled = jax.jit(fwd).lower(variables, x, states).compile()
+    ca = compiled.cost_analysis()
+    xla_flops = float((ca if isinstance(ca, dict) else ca[0])["flops"])
+    mine = detector_flops_per_frame(cfg.model)
+    assert mine["total"] == mine["backbone"] + mine["fpn"] + mine["head"]
+    ratio = mine["total"] / xla_flops
+    # measured 0.94 (tiny) / 1.00 (base) on this XLA build
+    assert 0.90 < ratio < 1.05, (mine, xla_flops)
