@@ -37,7 +37,14 @@ def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
     kernel-launch bound on TPU (11.6 ms/step for a 4.1M-param model whose
     whole update touches <100 MB of HBM — see docs/PERF.md round-4
     breakdown); the math is identical (same elementwise ops, same global
-    norm, modulo float summation order)."""
+    norm, modulo float summation order).
+
+    Checkpoint-format note: ``flatten`` changes the opt_state pytree
+    (one raveled vector instead of per-leaf Adam moments), so orbax
+    checkpoints written before this wrapper landed (round <= 3) fail
+    StandardRestore with a structure mismatch. All such checkpoints were
+    development artifacts; no migration shim is provided. Re-train or
+    restore weights-only via ``Trainer.load_weights``."""
     return optax.flatten(optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip_val),
         optax.adamw(learning_rate=onecycle_schedule(cfg),

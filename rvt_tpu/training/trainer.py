@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
+import numpy as np
 
 from rvt_tpu.config import ExperimentConfig
 from rvt_tpu.data.types import Batch
@@ -249,6 +250,16 @@ class Trainer:
                         "enable_masking=False")
                 (token_mask,) = shard_batch_arrays(self.mesh,
                                                    batch.token_mask)
+            elif cfg.model.backbone.enable_masking:
+                # normalise to an all-False mask: a stream alternating
+                # masked/unmasked batches would otherwise retrigger jit
+                # tracing mid-run (None vs array are different pytree
+                # structures)
+                ps = cfg.model.backbone.stem_patch_size
+                b_, t_, h_, w_ = batch.ev_repr.shape[:4]
+                (token_mask,) = shard_batch_arrays(
+                    self.mesh,
+                    np.zeros((b_, t_, h_ // ps, w_ // ps), bool))
             det_every = self.tcfg.detection_metrics_every_n_steps
             use_det = False
             if det_every:

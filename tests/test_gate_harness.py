@@ -32,9 +32,11 @@ def test_run_gate_end_to_end(tmp_path):
                                for k, v in ref.state_dict().items()}},
                str(ckpt))
 
+    # skip_md5: this is intentionally a synthetic (random-init) ckpt that
+    # borrows the published rvt-t name; the md5 guard would reject it
     record = run_gate(ckpt, data.parent, "gen1", "tiny", split="val",
                       batch_size=1, expected_map=0.0,
-                      preset_kwargs=PRESET_KW)
+                      preset_kwargs=PRESET_KW, skip_md5=True)
     for k in ("AP", "AP_50", "AP_75", "AP_S", "AP_M", "AP_L"):
         assert k in record and np.isfinite(record[k])
     # random weights -> no confident detections -> AP 0 == expected 0
@@ -69,7 +71,7 @@ def test_run_gate_serve_fused(tmp_path):
                                for k, v in ref.state_dict().items()}},
                str(ckpt))
     record = run_gate(ckpt, data.parent, "gen1", "tiny", split="val",
-                      batch_size=1, expected_map=0.0,
+                      batch_size=1, expected_map=0.0, skip_md5=True,
                       preset_kwargs=PRESET_KW, serve_fused=True)
     assert record["serve_fused"] is True
     assert record["gate_pass"] is True

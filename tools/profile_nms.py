@@ -62,6 +62,10 @@ def synth_predictions(rng: np.random.RandomState, B: int, A: int, C: int,
         pred[b, idx, 2] = rng.uniform(24, 64, n)
         pred[b, idx, 3] = rng.uniform(24, 64, n)
         pred[b, idx, 4] = rng.uniform(np.sqrt(conf_thre) * 1.05, 1.0, n)
+        # raise class-0 prob too: the selection score is obj * max cls
+        # prob, so both factors must clear sqrt(conf) for the product to
+        # be guaranteed above threshold
+        pred[b, idx, 5] = rng.uniform(np.sqrt(conf_thre) * 1.05, 1.0, n)
     return pred
 
 

@@ -33,6 +33,11 @@ def main() -> None:
                     help="serve with the fused Pallas backbone kernels")
     ap.add_argument("--xla_voxelizer", action="store_true",
                     help="XLA scatter voxelizer instead of the Pallas one")
+    ap.add_argument("--no_ds2_direct", action="store_true",
+                    help="voxelize at full sensor resolution then "
+                         "downsample (the pre-round-4 gen4 path) instead "
+                         "of voxelizing odd-coordinate events straight "
+                         "into the ds2 grid")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +55,7 @@ def main() -> None:
                                      batch_size=args.batch)
     step = make_raw_inference_step(
         model, cfg, use_pallas_voxelizer=not args.xla_voxelizer,
+        ds2_direct=not args.no_ds2_direct,
         interpret=jax.default_backend() == "cpu")
 
     H, W = cfg.dataset.resolution_hw

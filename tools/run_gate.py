@@ -97,7 +97,10 @@ def run_gate(ckpt: Path, data_dir: Path, dataset: str, size: str,
     from rvt_tpu.training.evaluator_loop import run_streaming_eval
 
     md5 = None
-    if not skip_md5 and preset_kwargs is None:
+    if not skip_md5:
+        # config overrides (resolution, sequence length) do not change the
+        # checkpoint file, so the corruption guard applies regardless of
+        # preset_kwargs
         md5 = verify_ckpt_md5(ckpt, dataset, size)
 
     cfg = preset(dataset, size, **(preset_kwargs or {}))
