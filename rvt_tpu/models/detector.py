@@ -351,7 +351,8 @@ def fused_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
 
 def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
                               init_states: LstmStates,
-                              per_step: bool = False
+                              per_step: bool = False,
+                              token_mask_seq: Optional[Array] = None
                               ) -> Tuple[Tuple[Array, ...], LstmStates]:
     """Differentiable fused backbone scan for TRAINING.
 
@@ -362,8 +363,10 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     backward three, weights staged once per window). ``per_step=True``
     forces the older per-timestep kernels under ``lax.scan``
     (``fused_stage_step_train``; same numerics, kept for A/B profiling).
-    Stages outside the train-kernel envelope (gen4 stage 1) run the XLA
-    module path under ``jax.checkpoint``.
+    gen4-stage-1-class stages (512k-1M elements/image) train through the
+    'split' kernel composition (``split_stage_scan_train``); only stages
+    beyond even that envelope (>1M elements/image) run the XLA module
+    path under ``jax.checkpoint``.
 
     Runs on one device's batch shard: multi-device data-parallel training
     reaches this through ``scan_backbone``'s ``shard_map`` dispatch (the
@@ -373,6 +376,7 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
     from rvt_tpu.ops.fused_train import (fused_stage_scan_train,
                                          fused_stage_step_train,
+                                         split_stage_scan_train,
                                          train_block_params,
                                          train_stage_mode)
 
@@ -398,18 +402,43 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
         h0, c0 = init_states[idx]
         ln_prm = downsample_ln_params(sp, cfg, C, dtype)
         part = tuple(cfg.attention.partition_size)
-        mode = train_stage_mode(h_dim, w_dim, C, part)
+        mode = train_stage_mode(h_dim, w_dim, C, part, scan=not per_step)
+
+        masked = token_mask_seq is not None and idx == 0
+        if masked:
+            # The reference applies the mask token to the LN'd downsample
+            # output (maxvit_rnn.py:174-176). Run stage 1's downsample LN
+            # + mask-token replacement here in XLA (differentiable,
+            # fused by the compiler into the conv epilogue) and have the
+            # kernels skip their in-kernel LN (cfg ds_ln=False); the
+            # LN-affine and mask-token gradients flow through this XLA
+            # prologue, the kernels' ds_s/ds_b cotangents are zero.
+            s_, b_ = [a.astype(jnp.float32) for a in ln_prm]
+            xf = x_seq.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+            xn = ((xf - mu) * jax.lax.rsqrt(var + cfg.downsample.norm_eps)
+                  * s_ + b_).astype(dtype)
+            mt = jnp.asarray(sp["mask_token"], dtype).reshape(1, 1, 1, 1, C)
+            x_seq = jnp.where(token_mask_seq[..., None], mt, xn)
 
         if mode is not None:
             step_cfg = (C // cfg.attention.dim_head,
                         cfg.attention.dim_head, part,
                         cfg.attention.norm_eps, cfg.downsample.norm_eps,
-                        mode == "dense", interpret)
+                        mode == "dense", interpret) + (
+                            (False,) if masked else ())
             win = train_block_params(sp["block0"]["att_window"], True)
             grd = train_block_params(sp["block0"]["att_grid"], False)
 
             if not per_step:
-                h_seq, hT, cT = fused_stage_scan_train(
+                # gen4-stage-1-class stages (512k-1M elements/image)
+                # train through the split composition: batched pair VJP
+                # over T*B frames + whole-window LSTM BPTT scan kernel
+                scan_fn = (split_stage_scan_train if mode == "split"
+                           else fused_stage_scan_train)
+                h_seq, hT, cT = scan_fn(
                     step_cfg, x_seq, ln_prm[0], ln_prm[1], win, grd, lw,
                     lb, h0, c0)
                 states_out.append((hT, cT))

@@ -41,9 +41,15 @@ Reference semantics: ``models/layers/maxvit/maxvit.py:185-270`` (block
 pair), ``models/layers/rnn.py:36-68`` (cell), trained by the Lightning
 loop at ``modules/detection.py:131-158``.
 
-Known limits (gated, falls back to the XLA path): per-image working set
-<= 512k elements (gen4 stage 1 trains on XLA), single-device jit only
-(Pallas calls do not auto-partition over a mesh).
+Envelopes (see ``train_stage_mode``): the one-kernel whole-stage path
+covers per-image working sets <= 512k elements; gen4-stage-1-class
+stages (512k-1M elements/image) train through the 'split' mode —
+``fused_pair_train`` (batched custom-VJP attention pair over all T*B
+frames) + ``fused_lstm_scan_train`` (whole-window cell scan with the
+(dh, dc) BPTT carry in VMEM, row-slab split). Multi-device dispatch is
+explicit shard_map over the mesh batch axis (models/detector.py:
+``scan_backbone``); the kernels themselves grid per image, so batch
+sharding is exact.
 """
 from __future__ import annotations
 
@@ -70,6 +76,20 @@ _N_TRAIN_SFN = 12
 _RSQRT = jax.lax.rsqrt
 _C0 = 0.7978845608028654  # sqrt(2/pi)
 _C1 = 0.044715
+
+
+def _parse_cfg(cfg):
+    """(heads, dim_head, part, eps, ds_eps, dense, interpret[, ds_ln]).
+
+    ``ds_ln=False`` (8th element, default True) skips the in-kernel
+    downsample LayerNorm: the input arrives already normed — the
+    token-masking path runs stage 1's LN + mask-token replacement in XLA
+    (reference order: maxvit_rnn.py:174-176, mask applied to the
+    downsample OUTPUT) and the ds scale/bias get zero cotangents from
+    the kernels (their real gradients flow through the XLA LN)."""
+    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg[:7]
+    ds_ln = cfg[7] if len(cfg) > 7 else True
+    return heads, dim_head, part, eps, ds_eps, dense, interpret, ds_ln
 
 
 def train_block_params(p: dict, skip_first_norm: bool) -> Tuple[Array, ...]:
@@ -437,7 +457,7 @@ def _lstm_recompute(R_out, h_in, c_in, lstm_w, lstm_b, T, C):
 
 
 def _stage_step_fwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
-                           dense):
+                           dense, ds_ln=True):
     """refs: x, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
     lstm_w, lstm_b, h_in, c_in -> h_out, c_out."""
     x_ref = refs[0]
@@ -453,7 +473,10 @@ def _stage_step_fwd_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
     win, grid = prms[:_N_TRAIN_SFN], prms[_N_TRAIN_SFN:]
 
     xf = x_ref[0].astype(jnp.float32)
-    x_bf16, _, _ = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    if ds_ln:
+        x_bf16, _, _ = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    else:
+        x_bf16 = xf.astype(jnp.bfloat16)
     R = x_bf16.astype(jnp.float32)
     R1, _ = _block_fwd(R, win, window_mode=True, skip_first_norm=True,
                        x_in_bf16=x_bf16, H=H, W=W, C=C, heads=heads,
@@ -482,10 +505,14 @@ def _acc(ref, is_first, val):
 
 
 def _recompute_R1(x_f32, ds_s, ds_b, win, *, H, W, C, heads, dh, part,
-                  eps, ds_eps, bias_w):
+                  eps, ds_eps, bias_w, ds_ln=True):
     """Shared forward recompute: downsample LN + window block. Returns
-    (R1, x_bf16, and the LN saveables)."""
-    x_bf16, xhat0, rstd0 = _ln_fwd(x_f32, ds_s[...], ds_b[...], ds_eps)
+    (R1, x_bf16, and the LN saveables). With ``ds_ln=False`` the input is
+    already normed (and bf16-rounded) — the LN is skipped."""
+    if ds_ln:
+        x_bf16, xhat0, rstd0 = _ln_fwd(x_f32, ds_s[...], ds_b[...], ds_eps)
+    else:
+        x_bf16, xhat0, rstd0 = x_f32.astype(jnp.bfloat16), None, None
     R0 = x_bf16.astype(jnp.float32)
     R1, _ = _block_fwd(R0, win, window_mode=True, skip_first_norm=True,
                        x_in_bf16=x_bf16, H=H, W=W, C=C, heads=heads,
@@ -538,7 +565,8 @@ def _lstm_bwd_chunked(xb_full, hb_full, cp_full, dh_full, dc_full, lstm_w,
     return dlw_acc, dlb_acc, cat(dR2_rows), cat(dhin_rows), cat(dcin_rows)
 
 
-def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense):
+def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense,
+                     ds_ln=True):
     """Backward kernel 1 of 3: recompute the forward chain (no stores)
     and backprop the ConvLSTM cell. The three-kernel split exists because
     Mosaic's scoped-VMEM stack reuse across a fwd-recompute + full
@@ -571,7 +599,7 @@ def _bwd_lstm_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps, dense):
     xf = x_ref[0].astype(jnp.float32)
     R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
                                 heads=heads, dh=dh, part=part, eps=eps,
-                                ds_eps=ds_eps, bias_w=bias_w)
+                                ds_eps=ds_eps, bias_w=bias_w, ds_ln=ds_ln)
     R2, _ = _block_fwd(R1, grid, window_mode=False,
                        skip_first_norm=False, x_in_bf16=None, H=H,
                        W=W, C=C, heads=heads, dh=dh, part=part,
@@ -636,11 +664,15 @@ def _bwd_grid_kernel(*refs, H, W, C, heads, dh, part, eps, dense,
 
 
 def _bwd_window_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
-                       dense, seq=False):
+                       dense, seq=False, ds_ln=True):
     """Backward kernel 3 of 3: window-block + downsample-LN backward.
     refs in: x, ds_s, ds_b, *win(12), [bias_w,] dR1 (f32 img)
     refs out: dx (bf16 img), dds_s, dds_b, *dwin(12).
-    ``seq``: (B, T) whole-window grid, as in _bwd_grid_kernel."""
+    ``seq``: (B, T) whole-window grid, as in _bwd_grid_kernel.
+    ``ds_ln=False``: the input arrived pre-normed (token-mask path runs
+    the LN + mask replacement in XLA) — the LN backward is skipped, dx is
+    the raw residual+attention cotangent, and dds_s/dds_b are zero (the
+    real LN-affine gradients flow through the XLA LN)."""
     first = pl.program_id(0) == 0
     if seq:
         first = jnp.logical_and(first, pl.program_id(1) == 0)
@@ -660,7 +692,10 @@ def _bwd_window_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
 
     T = H * W
     xf = x_ref[ix].astype(jnp.float32)
-    x_bf16, xhat0, rstd0 = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    if ds_ln:
+        x_bf16, xhat0, rstd0 = _ln_fwd(xf, ds_s[...], ds_b[...], ds_eps)
+    else:
+        x_bf16, xhat0, rstd0 = xf.astype(jnp.bfloat16), None, None
     R0 = x_bf16.astype(jnp.float32)
     _, saved_w = _block_fwd(R0, win_p, window_mode=True,
                             skip_first_norm=True, x_in_bf16=x_bf16, H=H,
@@ -676,9 +711,14 @@ def _bwd_window_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
 
     # x_bf16 feeds both the residual stream (R0) and the sfn attention
     dxbf = dR0 + dxa.reshape(dR0.shape)
-    dxf, dds_s, dds_b = _ln_bwd(
-        dxbf.reshape(T, C), xhat0.reshape(T, C),
-        rstd0.reshape(T, 1), ds_s)
+    if ds_ln:
+        dxf, dds_s, dds_b = _ln_bwd(
+            dxbf.reshape(T, C), xhat0.reshape(T, C),
+            rstd0.reshape(T, 1), ds_s)
+    else:
+        dxf = dxbf.reshape(T, C)
+        dds_s = jnp.zeros(dds_s_ref.shape, jnp.float32)
+        dds_b = jnp.zeros(dds_b_ref.shape, jnp.float32)
     _acc(dds_s_ref, first, dds_s)
     _acc(dds_b_ref, first, dds_b)
     dx_ref[ix] = dxf.astype(jnp.bfloat16).reshape(x_ref.shape[len(ix):])
@@ -704,11 +744,12 @@ def fused_stage_step_train(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b,
 
 
 def _stage_fwd_call(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c):
-    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    (heads, dim_head, part, eps, ds_eps, dense, interpret,
+     ds_ln) = _parse_cfg(cfg)
     B, H, W, C = x.shape
     kernel = functools.partial(
         _stage_step_fwd_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
     if dense:
         T = H * W
         x_in = x.reshape(B, T, C)
@@ -751,7 +792,8 @@ def _stage_fwd(cfg, x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c):
 def _stage_bwd(cfg, res, cot):
     """Three chained Pallas kernels (LSTM bwd -> grid bwd -> window bwd);
     see ``_bwd_lstm_kernel`` for why the backward is split."""
-    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    (heads, dim_head, part, eps, ds_eps, dense, interpret,
+     ds_ln) = _parse_cfg(cfg)
     x, ds_s, ds_b, win, grid, lstm_w, lstm_b, h, c = res
     dh_t, dc_t = cot
     B, H, W, C = x.shape
@@ -781,7 +823,7 @@ def _stage_bwd(cfg, res, cot):
     # kernel 1: forward chain + LSTM backward -> R1 checkpoint, dR2
     k1 = functools.partial(
         _bwd_lstm_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
     n_p1 = 2 + len(win) + len(grid) + len(bias_w) + len(bias_g)
     R1, dR2, dlw, dlb, dh0, dc0 = pl.pallas_call(
         k1,
@@ -816,7 +858,7 @@ def _stage_bwd(cfg, res, cot):
     # kernel 3: window-block + downsample-LN backward
     k3 = functools.partial(
         _bwd_window_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
     outs3 = pl.pallas_call(
         k3,
         grid=(B,),
@@ -874,7 +916,7 @@ fused_stage_step_train.defvjp(_stage_fwd, _stage_bwd)
 
 
 def _scan_fwd_train_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
-                           dense):
+                           dense, ds_ln=True):
     """refs in: x_seq, ds_s, ds_b, *win(12), *grid(14), [bias_w, bias_g,]
     lstm_w, lstm_b, h0, c0
     refs out: h_seq (bf16), c_seq (f32), hT, cT; scratch: h_s, c_s."""
@@ -901,7 +943,7 @@ def _scan_fwd_train_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
     xf = x_ref[0, 0].astype(jnp.float32)
     R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
                                 heads=heads, dh=dh, part=part, eps=eps,
-                                ds_eps=ds_eps, bias_w=bias_w)
+                                ds_eps=ds_eps, bias_w=bias_w, ds_ln=ds_ln)
     R2, _ = _block_fwd(R1, grid, window_mode=False, skip_first_norm=False,
                        x_in_bf16=None, H=H, W=W, C=C, heads=heads, dh=dh,
                        part=part, eps=eps, bias=bias_g, store=False)
@@ -921,7 +963,7 @@ def _scan_fwd_train_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
 
 
 def _bwd_lstm_scan_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
-                          dense):
+                          dense, ds_ln=True):
     """Whole-window backward kernel 1 of 3. Grid (B, T) whose seq index
     maps run time REVERSED (grid position t processes actual step
     T-1-t); the (dh, dc) BPTT carry lives in VMEM scratch.
@@ -959,7 +1001,7 @@ def _bwd_lstm_scan_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
     xf = x_ref[0, 0].astype(jnp.float32)
     R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
                                 heads=heads, dh=dh, part=part, eps=eps,
-                                ds_eps=ds_eps, bias_w=bias_w)
+                                ds_eps=ds_eps, bias_w=bias_w, ds_ln=ds_ln)
     R2, _ = _block_fwd(R1, grid, window_mode=False, skip_first_norm=False,
                        x_in_bf16=None, H=H, W=W, C=C, heads=heads, dh=dh,
                        part=part, eps=eps, bias=bias_g, store=False)
@@ -1005,11 +1047,12 @@ def fused_stage_scan_train(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w,
 
 def _scan_fwd_call(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0,
                    c0):
-    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    (heads, dim_head, part, eps, ds_eps, dense, interpret,
+     ds_ln) = _parse_cfg(cfg)
     T, B, H, W, C = x_seq.shape
     kernel = functools.partial(
         _scan_fwd_train_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
     if dense:
         Tk = H * W
         x_in = x_seq.reshape(T, B, Tk, C)
@@ -1065,7 +1108,8 @@ def _scan_fwd_rule(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0,
 
 
 def _scan_bwd_rule(cfg, res, cot):
-    heads, dim_head, part, eps, ds_eps, dense, interpret = cfg
+    (heads, dim_head, part, eps, ds_eps, dense, interpret,
+     ds_ln) = _parse_cfg(cfg)
     (x_seq, ds_s, ds_b, win, grid, lstm_w, lstm_b, h0, c0, h_seq,
      c_seq) = res
     dh_seq, dhT, dcT = cot
@@ -1118,7 +1162,7 @@ def _scan_bwd_rule(cfg, res, cot):
     # VMEM -> R1/dR2 streams + lstm grads + (dh0, dc0)
     k1 = functools.partial(
         _bwd_lstm_scan_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense)
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
     n_p1 = 2 + len(win) + len(grid) + len(bias_w) + len(bias_g)
     R1_seq, dR2_seq, dlw, dlb, dh0, dc0 = pl.pallas_call(
         k1,
@@ -1158,7 +1202,8 @@ def _scan_bwd_rule(cfg, res, cot):
     # kernel 3: window-block + downsample-LN backward
     k3 = functools.partial(
         _bwd_window_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
-        part=part, eps=eps, ds_eps=ds_eps, dense=dense, seq=True)
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, seq=True,
+        ds_ln=ds_ln)
     outs3 = pl.pallas_call(
         k3,
         grid=(B, T),
@@ -1189,22 +1234,401 @@ def _scan_bwd_rule(cfg, res, cot):
 fused_stage_scan_train.defvjp(_scan_fwd_rule, _scan_bwd_rule)
 
 
-def train_stage_mode(H: int, W: int, C: int,
-                     part: Tuple[int, int]) -> str | None:
-    """'part' | 'dense' | None for the train kernels. The backward kernel
-    holds one block's stored intermediates + f32 weight-grad accumulators;
-    the envelope mirrors the serving stage-scan bound (gen4 stage 1 at
-    983k elements/image exceeds it and trains on the XLA path)."""
+def train_stage_mode(H: int, W: int, C: int, part: Tuple[int, int], *,
+                     scan: bool = False) -> str | None:
+    """'part' | 'dense' | 'split' | None for the train kernels. The
+    whole-stage backward kernel holds one block's stored intermediates +
+    f32 weight-grad accumulators; its envelope mirrors the serving
+    stage-scan bound (512k elements/image).
+
+    ``scan``: the whole-window path additionally supports 'split' for
+    gen4-stage-1-class stages (512k < elements <= 1M, same bound as the
+    serving split mode): the attention pair trains as a batched
+    custom-VJP kernel over all T*B frames (``fused_pair_train`` — it has
+    no time recurrence) and the ConvLSTM as a whole-window scan kernel
+    with the (dh, dc) BPTT carry in VMEM (``fused_lstm_scan_train``)."""
     per_image = H * W * C
     # f32 weight-grad accumulators: 2 blocks (qkv + proj + fc1 + fc2) +
     # the LSTM matmul
     grad_bytes = 4 * (2 * (3 * C * C + C * C + 8 * C * C) + 8 * C * C)
     act_bytes = 30 * per_image
-    if grad_bytes + act_bytes > 56 * 2 ** 20 or per_image > 512 * 1024:
+    if grad_bytes + act_bytes <= 56 * 2 ** 20 and per_image <= _SPLIT_MIN:
+        if partition_geometry_ok(H, W, C, part):
+            return "part"
+        if dense_attention_ok(H, W):
+            return "dense"
         return None
-    if partition_geometry_ok(H, W, C, part):
-        return "part"
-    if dense_attention_ok(H, W):
-        return "dense"
+    if (scan and per_image <= _SPLIT_MAX
+            and partition_geometry_ok(H, W, C, part)):
+        return "split"
     return None
+
+
+# ---------------------------------------------------------------------------
+# 'split' train mode: batched attention-pair custom-VJP + whole-window
+# ConvLSTM scan custom-VJP (gen4-stage-1-class geometry, 512k-1M
+# elements/image — the one-kernel whole-stage scan reproducibly OOM-kills
+# the Mosaic compile there, exactly as on the serving side)
+# ---------------------------------------------------------------------------
+
+# envelope bounds, module-level so tests can force the split path at tiny
+# geometries (the split composition is exercised end-to-end on CPU in
+# interpret mode; the real gen4 geometry is verified on-chip by
+# tools/verify_tpu_kernels.py)
+_SPLIT_MIN = 512 * 1024
+_SPLIT_MAX = 1024 * 1024
+
+# row-slab size (elements) for the LSTM scan train kernels — the cell is
+# token-pointwise, so slab splitting is exact (same rule as the serving
+# fused_lstm_scan)
+_TRAIN_SLAB_ELEMS = 512 * 1024
+
+
+def _pair_fwd_win_kernel(*refs, H, W, C, heads, dh, part, eps, ds_eps,
+                         dense, ds_ln=True):
+    """Split-mode pair forward 1 of 2: downsample LN + window block.
+    refs in: x (bf16 img), ds_s, ds_b, *win(12), [bias_w]
+    refs out: R1 (f32 img) — the inter-block residual, saved as the VJP
+    checkpoint so the backward skips one recompute."""
+    x_ref, ds_s, ds_b = refs[:3]
+    win = refs[3:3 + _N_TRAIN_SFN]
+    bias_w = refs[3 + _N_TRAIN_SFN] if dense else None
+    R1_ref = refs[-1]
+    xf = x_ref[0].astype(jnp.float32)
+    R1, _, _, _ = _recompute_R1(xf, ds_s, ds_b, win, H=H, W=W, C=C,
+                                heads=heads, dh=dh, part=part, eps=eps,
+                                ds_eps=ds_eps, bias_w=bias_w, ds_ln=ds_ln)
+    R1_ref[0] = R1.reshape(R1_ref.shape[1:])
+
+
+def _pair_fwd_grid_kernel(*refs, H, W, C, heads, dh, part, eps, dense):
+    """Split-mode pair forward 2 of 2: grid block.
+    refs in: R1 (f32 img), *grid(14), [bias_g]; refs out: R2 (f32 img).
+    R2 stays f32 so the downstream LSTM-scan VJP's dR2 cotangent crosses
+    the custom_vjp boundary unrounded (the one-kernel path passes it f32
+    through HBM the same way)."""
+    R1_ref = refs[0]
+    grid_p = refs[1:1 + _N_TRAIN]
+    bias_g = refs[1 + _N_TRAIN] if dense else None
+    R2_ref = refs[-1]
+    R1 = R1_ref[0].astype(jnp.float32)
+    R2, _ = _block_fwd(R1, grid_p, window_mode=False, skip_first_norm=False,
+                       x_in_bf16=None, H=H, W=W, C=C, heads=heads, dh=dh,
+                       part=part, eps=eps, bias=bias_g, store=False)
+    R2_ref[0] = R2.reshape(R2_ref.shape[1:])
+
+
+def _pair_specs(cfg, x):
+    """Shared BlockSpec/shape plumbing for the pair train kernels."""
+    heads, dim_head, part, eps, ds_eps, dense, interpret, _ = _parse_cfg(cfg)
+    N, H, W, C = x.shape
+    if dense:
+        Tk = H * W
+        img = pl.BlockSpec((1, Tk, C), lambda n: (n, 0, 0),
+                           memory_space=pltpu.VMEM)
+        ishape = (N, Tk, C)
+        bias_w = (partition_bias(H, W, part, True),)
+        bias_g = (partition_bias(H, W, part, False),)
+        x_in = x.reshape(ishape)
+    else:
+        img = pl.BlockSpec((1, H, W, C), lambda n: (n, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        ishape = (N, H, W, C)
+        bias_w = bias_g = ()
+        x_in = x
+    return N, H, W, C, img, ishape, bias_w, bias_g, x_in
+
+
+def _pair_vmem(H, W, C):
+    """Scoped-VMEM cap for the split pair kernels, geometry-scaled like
+    the serving scan (gen4 stage 1's f32 intermediates + one block's
+    stores need the large cap; verified lowered on v5e)."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=(100 if H * W * C > 512 * 1024 else 64)
+        * 1024 * 1024)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_pair_train(cfg, x, ds_s, ds_b, win, grid):
+    """Downsample LN + MaxViT attention pair over N independent frames
+    (the whole T*B window flattened — the pair has no time recurrence) as
+    two Pallas kernels with a fused Pallas VJP.
+
+    cfg: hashable (heads, dim_head, part, eps, ds_eps, dense, interpret).
+    x: [N, H, W, C] bf16 raw downsample-conv output; win/grid:
+    train-layout param tuples (``train_block_params``).
+    Returns R2 [N, H, W, C] f32 (the ConvLSTM input)."""
+    y, _ = _pair_fwd_call(cfg, x, ds_s, ds_b, win, grid)
+    return y
+
+
+def _pair_fwd_call(cfg, x, ds_s, ds_b, win, grid):
+    (heads, dim_head, part, eps, ds_eps, dense, interpret,
+     ds_ln) = _parse_cfg(cfg)
+    N, H, W, C, img, ishape, bias_w, bias_g, x_in = _pair_specs(cfg, x)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fimg = jax.ShapeDtypeStruct(ishape, jnp.float32)
+    vmem = _pair_vmem(H, W, C)
+    k_win = functools.partial(
+        _pair_fwd_win_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
+    R1 = pl.pallas_call(
+        k_win, grid=(N,),
+        in_specs=[img] + [full] * (2 + len(win) + len(bias_w)),
+        out_specs=img, out_shape=fimg, compiler_params=vmem,
+        interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *bias_w)
+    k_grid = functools.partial(
+        _pair_fwd_grid_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, dense=dense)
+    R2 = pl.pallas_call(
+        k_grid, grid=(N,),
+        in_specs=[img] + [full] * (len(grid) + len(bias_g)),
+        out_specs=img, out_shape=fimg, compiler_params=vmem,
+        interpret=interpret,
+    )(R1, *grid, *bias_g)
+    if dense:
+        return R2.reshape(N, H, W, C), R1
+    return R2, R1
+
+
+def _pair_fwd_rule(cfg, x, ds_s, ds_b, win, grid):
+    y, R1 = _pair_fwd_call(cfg, x, ds_s, ds_b, win, grid)
+    return y, (x, ds_s, ds_b, win, grid, R1)
+
+
+def _pair_bwd_rule(cfg, res, dy):
+    """Two chained Pallas kernels — the per-frame grid/window block
+    backwards shared with the whole-stage path (``_bwd_grid_kernel``,
+    ``_bwd_window_kernel``), gridded over all N frames."""
+    (heads, dim_head, part, eps, ds_eps, dense, interpret,
+     ds_ln) = _parse_cfg(cfg)
+    x, ds_s, ds_b, win, grid, R1 = res
+    N, H, W, C, img, ishape, bias_w, bias_g, x_in = _pair_specs(cfg, x)
+    dy_in = dy.reshape(ishape)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fimg = jax.ShapeDtypeStruct(ishape, jnp.float32)
+    vmem = _pair_vmem(H, W, C)
+    gshape = lambda ps: tuple(
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in ps)
+
+    k2 = functools.partial(
+        _bwd_grid_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, dense=dense)
+    outs2 = pl.pallas_call(
+        k2, grid=(N,),
+        in_specs=[img] + [full] * (len(grid) + len(bias_g)) + [img],
+        out_specs=(img,) + (full,) * len(grid),
+        out_shape=(fimg,) + gshape(grid),
+        compiler_params=vmem, interpret=interpret,
+    )(R1, *grid, *bias_g, dy_in)
+    dR1 = outs2[0]
+    dgrid_f = outs2[1:]
+
+    k3 = functools.partial(
+        _bwd_window_kernel, H=H, W=W, C=C, heads=heads, dh=dim_head,
+        part=part, eps=eps, ds_eps=ds_eps, dense=dense, ds_ln=ds_ln)
+    outs3 = pl.pallas_call(
+        k3, grid=(N,),
+        in_specs=[img, full, full] + [full] * (len(win) + len(bias_w))
+        + [img],
+        out_specs=(img, full, full) + (full,) * len(win),
+        out_shape=(jax.ShapeDtypeStruct(ishape, jnp.bfloat16),)
+        + gshape((ds_s, ds_b)) + gshape(win),
+        compiler_params=vmem, interpret=interpret,
+    )(x_in, ds_s, ds_b, *win, *bias_w, dR1)
+    dx = outs3[0].reshape(x.shape)
+    cast = lambda g, p: g.astype(p.dtype)
+    dwin = tuple(cast(g, p) for g, p in zip(outs3[3:], win))
+    dgrid = tuple(cast(g, p) for g, p in zip(dgrid_f, grid))
+    return (dx.astype(x.dtype), cast(outs3[1], ds_s), cast(outs3[2], ds_b),
+            dwin, dgrid)
+
+
+fused_pair_train.defvjp(_pair_fwd_rule, _pair_bwd_rule)
+
+
+def _lstm_scan_fwd_train_kernel(x_ref, w_ref, b_ref, h0_ref, c0_ref,
+                                hseq_ref, cseq_ref, hT_ref, cT_ref,
+                                h_s, c_s, *, C: int):
+    """Whole-window ConvLSTM forward over one row-slab: grid (B, S, T)
+    with t innermost, carry in VMEM scratch. Same numerics as the serving
+    ``fused_scan._lstm_scan_kernel``; additionally streams c_seq (f32) —
+    together with the bf16 h_seq output these are exactly the per-step
+    carry INPUTS the backward needs."""
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        h_s[...] = h0_ref[0]
+        c_s[...] = c0_ref[0]
+
+    Hs, W = x_ref.shape[2], x_ref.shape[3]
+    T = Hs * W
+    _, _, _, _, _, _, c_t, h_t = _lstm_recompute(
+        x_ref[0, 0], h_s[...], c_s[...], w_ref, b_ref, T, C)
+    h_s[...] = h_t.reshape(Hs, W, C)
+    c_s[...] = c_t.reshape(Hs, W, C)
+    hseq_ref[0, 0] = h_s[...].astype(jnp.bfloat16)
+    cseq_ref[0, 0] = c_s[...]
+    # constant block index over t: the final write (t = T-1) is what lands
+    hT_ref[0] = h_s[...]
+    cT_ref[0] = c_s[...]
+
+
+def _lstm_scan_bwd_kernel(x_ref, w_ref, b_ref, hp_ref, cp_ref, dhs_ref,
+                          dhT_ref, dcT_ref, dx_ref, dlw_ref, dlb_ref,
+                          dh0_ref, dc0_ref, dh_s, dc_s, *, C: int):
+    """Whole-window ConvLSTM backward: grid (B, S, T) whose seq index maps
+    run time REVERSED (grid position t processes actual step T-1-t); the
+    (dh, dc) BPTT carry lives in VMEM scratch per (b, slab).
+    refs in: x_seq (R2 stream), lstm_w, lstm_b, h_prev_seq (bf16),
+    c_prev_seq (f32), dh_seq (bf16 cotangent of h_seq), dhT, dcT
+    refs out: dx_seq (f32), dlstm_w, dlstm_b, dh0, dc0."""
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    tr = pl.program_id(2)
+
+    @pl.when(tr == 0)
+    def _init():
+        dh_s[...] = dhT_ref[0]
+        dc_s[...] = dcT_ref[0]
+
+    Hs, W = x_ref.shape[2], x_ref.shape[3]
+    T = Hs * W
+    # carried recurrent cotangent + this step's external (h_seq) cotangent
+    dh_full = (dh_s[...].reshape(T, C)
+               + dhs_ref[0, 0].astype(jnp.float32).reshape(T, C))
+    dlw_acc, dlb_acc, dx, dhin, dcin = _lstm_bwd_chunked(
+        x_ref[0, 0].astype(jnp.bfloat16).reshape(T, C),
+        hp_ref[0, 0].reshape(T, C),
+        cp_ref[0, 0].reshape(T, C),
+        dh_full, dc_s[...].reshape(T, C), w_ref, b_ref, T, C)
+    first = jnp.logical_and(jnp.logical_and(b == 0, s == 0), tr == 0)
+    _acc(dlw_ref, first, dlw_acc)
+    _acc(dlb_ref, first, dlb_acc)
+    dx_ref[0, 0] = dx.reshape(Hs, W, C)
+    dh_s[...] = dhin.reshape(Hs, W, C)
+    dc_s[...] = dcin.reshape(Hs, W, C)
+    # constant block over t: the last write (tr = T-1, actual step 0) lands
+    dh0_ref[0] = dh_s[...]
+    dc0_ref[0] = dc_s[...]
+
+
+def _lstm_slab_split(H: int, W: int, C: int) -> int:
+    rows_split = 1
+    while (H % (rows_split * 2) == 0
+           and (H // rows_split) * W * C > _TRAIN_SLAB_ELEMS):
+        rows_split *= 2
+    return rows_split
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_lstm_scan_train(interpret, x_seq, lstm_w, lstm_b, h0, c0):
+    """Whole-window ConvLSTM scan (carry in VMEM, row-slab split) with a
+    fused Pallas VJP — the recurrence half of the 'split' train mode.
+
+    x_seq: [T, B, H, W, C] f32 attention-pair outputs (R2); h0/c0 f32.
+    Returns (h_seq [T, B, H, W, C] bf16, h_T f32, c_T f32). Numerics match
+    the one-kernel stage scan bit-for-bit (the cell consumes R2 cast to
+    bf16 either way)."""
+    h_seq, _, hT, cT = _lstm_scan_train_call(interpret, x_seq, lstm_w,
+                                             lstm_b, h0, c0)
+    return h_seq, hT, cT
+
+
+def _lstm_scan_train_call(interpret, x_seq, lstm_w, lstm_b, h0, c0):
+    T, B, H, W, C = x_seq.shape
+    S = _lstm_slab_split(H, W, C)
+    Hs = H // S
+    seq = pl.BlockSpec((1, 1, Hs, W, C), lambda b, s, t: (t, b, s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((1, Hs, W, C), lambda b, s, t: (b, s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_lstm_scan_fwd_train_kernel, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S, T),
+        in_specs=[seq, full, full, img, img],
+        out_specs=(seq, seq, img, img),
+        out_shape=(jax.ShapeDtypeStruct((T, B, H, W, C), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((T, B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((Hs, W, C), jnp.float32),
+                        pltpu.VMEM((Hs, W, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x_seq, lstm_w, lstm_b, h0, c0)
+
+
+def _lstm_scan_train_fwd(interpret, x_seq, lstm_w, lstm_b, h0, c0):
+    h_seq, c_seq, hT, cT = _lstm_scan_train_call(interpret, x_seq, lstm_w,
+                                                 lstm_b, h0, c0)
+    return (h_seq, hT, cT), (x_seq, lstm_w, lstm_b, h0, c0, h_seq, c_seq)
+
+
+def _lstm_scan_train_bwd(interpret, res, cot):
+    x_seq, lstm_w, lstm_b, h0, c0, h_seq, c_seq = res
+    dh_seq, dhT, dcT = cot
+    T, B, H, W, C = x_seq.shape
+    S = _lstm_slab_split(H, W, C)
+    Hs = H // S
+    # per-step carry INPUTS: what step t consumed is the step t-1 state
+    # (bf16 h is exactly the rounding the kernel applies to its carry)
+    h_prev = jnp.concatenate([h0.astype(jnp.bfloat16)[None], h_seq[:-1]],
+                             axis=0)
+    c_prev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    seq_r = pl.BlockSpec((1, 1, Hs, W, C),
+                         lambda b, s, t, T=T: (T - 1 - t, b, s, 0, 0),
+                         memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((1, Hs, W, C), lambda b, s, t: (b, s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_lstm_scan_bwd_kernel, C=C)
+    dx, dlw, dlb, dh0, dc0 = pl.pallas_call(
+        kernel,
+        grid=(B, S, T),
+        in_specs=[seq_r, full, full, seq_r, seq_r, seq_r, img, img],
+        out_specs=(seq_r, full, full, img, img),
+        out_shape=(jax.ShapeDtypeStruct((T, B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((Hs, W, C), jnp.float32),
+                        pltpu.VMEM((Hs, W, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x_seq, lstm_w, lstm_b, h_prev, c_prev,
+      dh_seq.astype(jnp.bfloat16), dhT.astype(jnp.float32),
+      dcT.astype(jnp.float32))
+    return (dx.astype(x_seq.dtype), dlw.astype(lstm_w.dtype),
+            dlb.astype(lstm_b.dtype), dh0, dc0)
+
+
+fused_lstm_scan_train.defvjp(_lstm_scan_train_fwd, _lstm_scan_train_bwd)
+
+
+def split_stage_scan_train(cfg, x_seq, ds_s, ds_b, win, grid, lstm_w,
+                           lstm_b, h0, c0):
+    """'split' TRAIN mode for stages beyond the one-kernel envelope (gen4
+    stage 1): the attention pair — no time recurrence — trains as one
+    batched custom-VJP launch pair over all T*B frames, then the ConvLSTM
+    trains as a whole-window scan with the BPTT carry in VMEM. Training
+    twin of the serving ``fused_scan.split_stage_scan``; forward is
+    bitwise-equal to ``fused_stage_scan_train`` (same kernel bodies, f32
+    R2 handoff through HBM).
+
+    cfg/args as ``fused_stage_scan_train``. Returns (h_seq bf16, hT f32,
+    cT f32)."""
+    interpret = _parse_cfg(cfg)[6]
+    T, B, H, W, C = x_seq.shape
+    y = fused_pair_train(cfg, x_seq.reshape(T * B, H, W, C), ds_s, ds_b,
+                         win, grid)
+    return fused_lstm_scan_train(interpret, y.reshape(T, B, H, W, C),
+                                 lstm_w, lstm_b, h0, c0)
 

@@ -240,3 +240,142 @@ def test_stage_scan_matches_per_step(H, W, C, part, dh):
         s = max(np.abs(b).max(), 1e-3)
         # bound: per-step bf16 accumulation noise, ~T bf16 ulps
         assert np.abs(a - b).max() / s < 2e-2
+
+
+def test_train_stage_mode_split_envelope():
+    """'split' is the whole-window answer for gen4-stage-1-class
+    geometry (512k < elements/image <= 1M, partitioned); the per-step
+    path and oversized stages still decline."""
+    from rvt_tpu.ops.fused_train import train_stage_mode
+
+    # gen4 ds2 stage 1: base (C=64, 983k) and small (C=48, 737k)
+    assert train_stage_mode(96, 160, 64, (6, 10)) is None
+    assert train_stage_mode(96, 160, 64, (6, 10), scan=True) == "split"
+    assert train_stage_mode(96, 160, 48, (6, 10), scan=True) == "split"
+    # tiny (C=32, 491k) fits the one-kernel envelope either way
+    assert train_stage_mode(96, 160, 32, (6, 10)) == "part"
+    assert train_stage_mode(96, 160, 32, (6, 10), scan=True) == "part"
+    # full-res gen4 stage 1 (3.9M elements) exceeds even the split bound
+    assert train_stage_mode(192, 320, 64, (6, 10), scan=True) is None
+
+
+@pytest.mark.parametrize("H,W,C,part,dh", [(16, 10, 32, (8, 10), 32)])
+def test_split_train_matches_stage_scan(H, W, C, part, dh, monkeypatch):
+    """The split train composition (batched pair VJP + whole-window LSTM
+    BPTT scan) vs the one-kernel whole-stage scan: forward must be
+    BITWISE equal (same kernel bodies, f32 R2 handoff), gradients agree
+    to f32-accumulation-order noise. The LSTM slab split is forced so the
+    per-slab carry/cotangent path is exercised."""
+    from rvt_tpu.ops import fused_train
+    from rvt_tpu.ops.fused_train import (fused_stage_scan_train,
+                                         split_stage_scan_train,
+                                         train_block_params)
+
+    # H=16 rows -> 2 slabs of 8 (8*10*32 = 2560 <= 4096 < 5120)
+    monkeypatch.setattr(fused_train, "_TRAIN_SLAB_ELEMS", 4096)
+
+    geo = dict(H=H, W=W, part=part, dh=dh)
+    pair, cell, pv, cv = _stage_params(geo, C, key=5)
+    win = train_block_params(pv["params"]["att_window"], True)
+    grd = train_block_params(pv["params"]["att_grid"], False)
+    lp = cv["params"]["conv1x1"]
+    lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+    lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+    rng = np.random.RandomState(2)
+    T, B = 4, 2
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C), jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+    ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+    eps = 1e-5
+    cfg = (C // dh, dh, part, eps, eps, False, True)
+    wh = jnp.asarray(rng.randn(T, B, H, W, C), jnp.float32)
+    wT = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+
+    args = (x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+    hs1, hT1, cT1 = split_stage_scan_train(cfg, *args)
+    hs2, hT2, cT2 = fused_stage_scan_train(cfg, *args)
+    assert float(jnp.max(jnp.abs(hs1.astype(jnp.float32)
+                                 - hs2.astype(jnp.float32)))) == 0.0
+    assert float(jnp.max(jnp.abs(hT1 - hT2))) == 0.0
+    assert float(jnp.max(jnp.abs(cT1 - cT2))) == 0.0
+
+    def loss(fn, *a):
+        h_seq, hT, cT = fn(cfg, *a)
+        return (jnp.sum(h_seq.astype(jnp.float32) * wh)
+                + jnp.sum(hT * wT) + 0.5 * jnp.sum(jnp.tanh(cT) * wT))
+
+    g1 = jax.grad(lambda *a: loss(split_stage_scan_train, *a),
+                  argnums=tuple(range(9)))(*args)
+    g2 = jax.grad(lambda *a: loss(fused_stage_scan_train, *a),
+                  argnums=tuple(range(9)))(*args)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = max(np.abs(b).max(), 1e-3)
+        # f32 weight-grad accumulators in both paths; only the grid
+        # iteration order differs (frame-major vs (b, t))
+        assert np.abs(a - b).max() / s < 4e-3
+
+
+@pytest.mark.parametrize("H,W,C,part,dh", [(16, 10, 32, (8, 10), 32)])
+def test_split_train_grads_match_xla(H, W, C, part, dh):
+    """End-to-end gradient parity of the split train composition against
+    the XLA module path (downsample LN + pair + cell under lax.scan)."""
+    from rvt_tpu.ops.fused_train import (split_stage_scan_train,
+                                         train_block_params)
+
+    geo = dict(H=H, W=W, part=part, dh=dh)
+    pair, cell, pv, cv = _stage_params(geo, C, key=6)
+    rng = np.random.RandomState(3)
+    T, B = 3, 2
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C), jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+    ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+    eps = 1e-5
+    wh = jnp.asarray(rng.randn(T, B, H, W, C), jnp.float32)
+    wT = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+
+    def total(h_seq, hT, cT):
+        return (jnp.sum(h_seq.astype(jnp.float32) * wh)
+                + jnp.sum(hT * wT) + 0.5 * jnp.sum(jnp.tanh(cT) * wT))
+
+    def xla_loss(x_seq, ds_s, ds_b, pv, cv, h0, c0):
+        def step(carry, x_t):
+            xf = x_t.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+            xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+                  * ds_s.astype(jnp.float32)
+                  + ds_b.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = pair.apply(pv, xn, False)
+            h_t, c_t = cell.apply(cv, y, carry, False)
+            return (h_t, c_t), h_t.astype(jnp.bfloat16)
+        (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), x_seq)
+        return total(h_seq, hT, cT)
+
+    def fused_loss(x_seq, ds_s, ds_b, pv, cv, h0, c0):
+        win = train_block_params(pv["params"]["att_window"], True)
+        grd = train_block_params(pv["params"]["att_grid"], False)
+        lp = cv["params"]["conv1x1"]
+        lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+        lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+        cfg = (C // dh, dh, part, eps, eps, False, True)
+        h_seq, hT, cT = split_stage_scan_train(
+            cfg, x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+        return total(h_seq, hT, cT)
+
+    args = (x_seq, ds_s, ds_b, pv, cv, h0, c0)
+    gx = jax.grad(xla_loss, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(gx)[0],
+                            jax.tree.leaves(gf)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = max(np.abs(a).max(), 1e-3)
+        err = np.abs(a - b).max() / s
+        assert err < 5e-2, ("/".join(str(q) for q in path), err)

@@ -478,5 +478,100 @@ def _verify_fused_train_scan() -> int:
     return failures
 
 
+def _verify_split_train() -> int:
+    """Lowered 'split' train mode (split_stage_scan_train: batched pair
+    VJP + whole-window LSTM BPTT scan) at REAL gen4-ds2 stage-1 geometry
+    (96x160x64, 983k elements/image — beyond the one-kernel train
+    envelope): gradient parity vs the XLA module path, plus a window
+    fwd+bwd time comparison against that XLA fallback (which is what gen4
+    stage 1 trained on before this mode existed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvt_tpu.config import AttentionConfig, LstmConfig
+    from rvt_tpu.models.layers import DWSConvLSTM2d, MaxVitAttentionPair
+    from rvt_tpu.ops.fused_train import (split_stage_scan_train,
+                                         train_block_params,
+                                         train_stage_mode)
+
+    failures = 0
+    H, W, C, part, dh, T, B = 96, 160, 64, (6, 10), 32, 5, 2
+    assert train_stage_mode(H, W, C, part, scan=True) == "split"
+    pair = MaxVitAttentionPair(dim=C, cfg=AttentionConfig(
+        partition_size=part, dim_head=dh), skip_first_norm=True,
+        dtype=jnp.bfloat16, fused=False)
+    cell = DWSConvLSTM2d(dim=C, cfg=LstmConfig(dws_conv=False),
+                         dtype=jnp.bfloat16, fused=False)
+    rng = np.random.RandomState(0)
+    x0 = jnp.zeros((1, H, W, C), jnp.bfloat16)
+    hz = jnp.zeros((1, H, W, C), jnp.float32)
+    pv = pair.init(jax.random.PRNGKey(0), x0)
+    cv = cell.init(jax.random.PRNGKey(1), x0, (hz, hz))
+    x_seq = jnp.asarray(rng.randn(T, B, H, W, C), jnp.bfloat16)
+    h0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H, W, C) * 0.3, jnp.float32)
+    ds_s = jnp.asarray(1.0 + 0.1 * rng.randn(1, C), jnp.bfloat16)
+    ds_b = jnp.asarray(0.1 * rng.randn(1, C), jnp.bfloat16)
+    wh = jnp.asarray(rng.randn(T, B, H, W, C) * 0.05, jnp.float32)
+    eps = 1e-5
+
+    def total(h_seq, hT, cT):
+        return (jnp.sum(h_seq.astype(jnp.float32) * wh)
+                + jnp.sum(hT) + jnp.sum(cT))
+
+    def xla_loss(pv, cv, x_seq, ds_s, ds_b, h0, c0):
+        def step(carry, x_t):
+            xf = x_t.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+            xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+                  * ds_s.astype(jnp.float32)
+                  + ds_b.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = pair.apply(pv, xn, False)
+            h_t, c_t = cell.apply(cv, y, carry, False)
+            return (h_t, c_t), h_t.astype(jnp.bfloat16)
+        (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), x_seq)
+        return total(h_seq, hT, cT)
+
+    def split_loss(pv, cv, x_seq, ds_s, ds_b, h0, c0):
+        win = train_block_params(pv["params"]["att_window"], True)
+        grd = train_block_params(pv["params"]["att_grid"], False)
+        lp = cv["params"]["conv1x1"]
+        lw = jnp.asarray(lp["kernel"], jnp.bfloat16).reshape(2 * C, 4 * C)
+        lb = jnp.asarray(lp["bias"], jnp.bfloat16).reshape(1, -1)
+        cfg = (C // dh, dh, part, eps, eps, False, False)
+        h_seq, hT, cT = split_stage_scan_train(
+            cfg, x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+        return total(h_seq, hT, cT)
+
+    args = (pv, cv, x_seq, ds_s, ds_b, h0, c0)
+    argnums = tuple(range(7))
+    vg_x = jax.jit(jax.value_and_grad(xla_loss, argnums=argnums))
+    vg_s = jax.jit(jax.value_and_grad(split_loss, argnums=argnums))
+    v1, g1 = vg_s(*args)
+    v2, g2 = vg_x(*args)
+    worst = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        worst = max(worst, np.abs(a - b).max()
+                    / max(np.abs(b).max(), 1e-3))
+    ok = worst < 6e-2 and abs(float(v1) - float(v2)) < 1e-2 * max(
+        abs(float(v2)), 1.0)
+    failures += not ok
+    t_split = timeit(lambda *a: vg_s(*a)[0], *args)
+    t_xla = timeit(lambda *a: vg_x(*a)[0], *args)
+    print(f"split_train/gen4-stage1 {H}x{W}x{C}xT{T}xB{B}: "
+          f"{'OK' if ok else 'MISMATCH'} (worst rel err={worst:.2e}) "
+          f"split {t_split:.2f} ms vs XLA {t_xla:.2f} ms "
+          f"({t_xla / t_split:.2f}x) per window fwd+bwd")
+    return failures
+
+
+_CHECKS["split_train"] = _verify_split_train
+
+
 if __name__ == "__main__":
     raise SystemExit(main())
