@@ -111,19 +111,34 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
     Returns (features_per_stage, final_states) where features_per_stage is a
     tuple over ``cfg.fpn.in_stages`` of [T, B, h, w, c] arrays.
     """
-    fused_ok = token_mask_seq is None and _fused_scan_supported(model)
+    # Serving never passes a token mask (masking is a train-time
+    # augmentation, modules/detection.py:135-138); the fused TRAIN path
+    # supports it natively — stage 1's downsample LN + mask-token
+    # replacement run in XLA before the stage kernels (ds_ln=False).
     serving = deterministic and not remat
+    fused_ok = _fused_scan_supported(model) and (
+        token_mask_seq is None or not deterministic)
     if fused_ok and (serving or not deterministic):
         # Training with fused kernels: the custom VJP recomputes the
         # forward in-kernel, so the memory plan is fixed by design and
         # the ``remat`` flag is ignored on that path.
-        fn = fused_scan_backbone if serving else fused_train_scan_backbone
+        if serving:
+            fn = fused_scan_backbone
+        else:
+            def fn(model, variables, ev_seq, init_states, tm=None):
+                return fused_train_scan_backbone(
+                    model, variables, ev_seq, init_states,
+                    token_mask_seq=tm)
         if mesh is not None and mesh.size > 1:
             if ev_seq.shape[1] % mesh.size == 0:
                 return _shard_fused_scan(fn, model, variables, ev_seq,
-                                         init_states, mesh)
+                                         init_states, mesh,
+                                         token_mask_seq=token_mask_seq)
         elif mesh is not None or jax.device_count() == 1:
-            return fn(model, variables, ev_seq, init_states)
+            if token_mask_seq is None:
+                return fn(model, variables, ev_seq, init_states)
+            return fn(model, variables, ev_seq, init_states,
+                      token_mask_seq)
 
     in_stages = model.cfg.fpn.in_stages
 
@@ -158,7 +173,8 @@ def scan_backbone(model: RVTDetector, variables, ev_seq: Array,
 
 
 def _shard_fused_scan(fn, model: RVTDetector, variables, ev_seq: Array,
-                      init_states: LstmStates, mesh
+                      init_states: LstmStates, mesh,
+                      token_mask_seq: Optional[Array] = None
                       ) -> Tuple[Tuple[Array, ...], LstmStates]:
     """Data-parallel fused backbone scan over the mesh's (first) axis.
 
@@ -177,14 +193,24 @@ def _shard_fused_scan(fn, model: RVTDetector, variables, ev_seq: Array,
 
     axis = mesh.axis_names[0]
 
-    def body(variables, ev_seq, init_states):
-        return fn(model, variables, ev_seq, init_states)
+    if token_mask_seq is None:
+        def body(variables, ev_seq, init_states):
+            return fn(model, variables, ev_seq, init_states)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis), P(axis)),
+            out_specs=(P(None, axis), P(axis)),
+            check_vma=False)(variables, ev_seq, init_states)
+
+    def body_tm(variables, ev_seq, init_states, tm):
+        return fn(model, variables, ev_seq, init_states, tm)
 
     return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(None, axis), P(axis)),
+        body_tm, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis), P(None, axis)),
         out_specs=(P(None, axis), P(axis)),
-        check_vma=False)(variables, ev_seq, init_states)
+        check_vma=False)(variables, ev_seq, init_states, token_mask_seq)
 
 
 def downsample_conv_apply(x: Array, sp, cfg, is_stem: bool,
@@ -223,13 +249,15 @@ def downsample_ln_params(sp, cfg, C: int, dtype=jnp.bfloat16):
 
 def _fused_scan_supported(model: RVTDetector) -> bool:
     """Gate for the whole-window stage-scan serving path: shipped config
-    shape (bf16, 1 block per stage, plain MLP/LSTM variants) and no token
-    masking. Per-stage VMEM envelopes are handled inside
+    shape (bf16, 1 block per stage, plain MLP/LSTM variants). Token
+    masking is supported on the TRAIN path (stage 1's LN + mask-token
+    replacement run as an XLA prologue, kernels skip their in-kernel LN);
+    an actual mask at serving time falls back to XLA in
+    ``scan_backbone``. Per-stage VMEM envelopes are handled inside
     ``fused_scan_backbone`` (oversized stages scan per-step)."""
     cfg = model.cfg.backbone
     a, l = cfg.attention, cfg.lstm
     return (cfg.fused_kernels and model.cfg.compute_dtype == "bfloat16"
-            and not cfg.enable_masking
             and all(n == 1 for n in cfg.num_blocks)
             and not a.mlp_gated and a.attention_bias and a.mlp_bias
             and a.ls_init_value > 0 and a.drop_path == 0.0
@@ -404,7 +432,10 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
         part = tuple(cfg.attention.partition_size)
         mode = train_stage_mode(h_dim, w_dim, C, part, scan=not per_step)
 
-        masked = token_mask_seq is not None and idx == 0
+        # mirror the module's gating (backbone.py: mask ignored unless
+        # enable_token_masking, which is stage-1-only)
+        masked = (token_mask_seq is not None and idx == 0
+                  and cfg.enable_masking)
         if masked:
             # The reference applies the mask token to the LN'd downsample
             # output (maxvit_rnn.py:174-176). Run stage 1's downsample LN
@@ -458,14 +489,20 @@ def fused_train_scan_backbone(model: RVTDetector, variables, ev_seq: Array,
             # downsample LN in XLA, rematerialised per step
             s_, b_ = [a.astype(jnp.float32) for a in ln_prm]
 
-            def ln(x_t):
-                xf = x_t.astype(jnp.float32)
-                mu = jnp.mean(xf, axis=-1, keepdims=True)
-                var = jnp.maximum(
-                    jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
-                    0.0)
-                return ((xf - mu) * jax.lax.rsqrt(
-                    var + cfg.downsample.norm_eps) * s_ + b_).astype(dtype)
+            if masked:
+                # LN + mask replacement already applied above
+                def ln(x_t):
+                    return x_t
+            else:
+                def ln(x_t):
+                    xf = x_t.astype(jnp.float32)
+                    mu = jnp.mean(xf, axis=-1, keepdims=True)
+                    var = jnp.maximum(
+                        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
+                        0.0)
+                    return ((xf - mu) * jax.lax.rsqrt(
+                        var + cfg.downsample.norm_eps) * s_ + b_
+                            ).astype(dtype)
 
             pair = MaxVitAttentionPair(dim=C, cfg=cfg.attention,
                                        skip_first_norm=True, dtype=dtype,

@@ -165,6 +165,87 @@ def test_fused_train_scan_backbone_matches_xla():
         assert err < 8e-2, ("/".join(str(q) for q in path), err, s)
 
 
+def test_fused_train_scan_backbone_masked_matches_xla(monkeypatch):
+    """Token-mask training through the fused kernels: with
+    enable_masking, stage 1's downsample LN + mask-token replacement run
+    in XLA before the stage kernels (cfg ds_ln=False) — gradients,
+    INCLUDING mask_token and the stage-1 LN affine, must match the XLA
+    module path (which applies the mask inside the stage module,
+    backbone.py:57-62)."""
+    from dataclasses import replace
+
+    from rvt_tpu.config import preset
+    from rvt_tpu.models import RVTDetector, init_detector, zero_states
+    from rvt_tpu.models.detector import scan_backbone
+    from rvt_tpu.parallel.mesh import make_mesh
+
+    import rvt_tpu.models.detector as det
+
+    # guard against the gate regressing to "mask -> XLA path" (which
+    # would make this test a vacuous XLA-vs-XLA comparison)
+    fused_calls = []
+    orig_fused = det.fused_train_scan_backbone
+    monkeypatch.setattr(
+        det, "fused_train_scan_backbone",
+        lambda *a, **k: (fused_calls.append(1), orig_fused(*a, **k))[1])
+
+    T, B = 3, 2
+    cfg = preset("gen1", "tiny", resolution_hw=(64, 80), sequence_length=T,
+                 max_labels_per_frame=4, max_labeled_frames=2)
+    cfg = replace(cfg, model=replace(
+        cfg.model, compute_dtype="bfloat16",
+        backbone=replace(cfg.model.backbone, enable_masking=True)))
+    model_ref, variables = init_detector(cfg.model, jax.random.PRNGKey(0),
+                                         batch_size=B)
+    cfg_f = replace(cfg, model=replace(
+        cfg.model, backbone=replace(cfg.model.backbone, fused_kernels=True)))
+    model_fused = RVTDetector(cfg=cfg_f.model)
+    H, W = cfg.model.backbone.in_res_hw
+    patch = cfg.model.backbone.stem_patch_size
+    rng = np.random.RandomState(0)
+    ev = jnp.asarray(rng.randint(0, 8, (T, B, H, W, 20)), jnp.float32)
+    # ~25% of stage-1 tokens masked, varying over (t, b)
+    tm = jnp.asarray(rng.rand(T, B, H // patch, W // patch) < 0.25)
+    states = zero_states(cfg.model.backbone, B)
+    wgts = None
+
+    def loss(params, model):
+        feats, _ = scan_backbone(
+            model, {"params": params}, ev, states, token_mask_seq=tm,
+            deterministic=False, remat=True,
+            mesh=make_mesh(1) if model is model_fused else None)
+        total = 0.0
+        nonlocal wgts
+        if wgts is None:
+            wgts = [jnp.asarray(np.random.RandomState(7).randn(*f.shape),
+                                jnp.float32) for f in feats]
+        for f, w in zip(feats, wgts):
+            total = total + jnp.sum(f.astype(jnp.float32) * w)
+        return total / ev.size
+
+    params = variables["params"]
+    assert "mask_token" in params["backbone"]["stage1"]
+    g_x = jax.grad(lambda p: loss(p, model_ref))(params)
+    g_f = jax.grad(lambda p: loss(p, model_fused))(params)
+    assert fused_calls, "masked training did not take the fused path"
+    leaves_x = jax.tree_util.tree_flatten_with_path(g_x)[0]
+    leaves_f = jax.tree_util.tree_flatten(g_f)[0]
+    checked = 0
+    for (path, a), b in zip(leaves_x, leaves_f):
+        name = "/".join(str(q) for q in path)
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = max(np.abs(a).max(), 1e-4)
+        err = np.abs(a - b).max() / s
+        assert err < 8e-2, (name, err, s)
+        if "mask_token" in name:
+            # the mask-token gradient must actually flow (nonzero) and
+            # agree — it only exists on the XLA prologue side
+            assert np.abs(a).max() > 0
+            checked += 1
+    assert checked == 1
+
+
 @pytest.mark.parametrize("H,W,C,part,dh", [
     (16, 10, 32, (8, 10), 32),   # partitioned mode
     (16, 24, 32, (2, 3), 32),    # masked-dense mode
