@@ -61,6 +61,17 @@ def main() -> None:
     ap.add_argument("--init_ckpt", type=Path, default=None,
                     help="reference torch .ckpt for weights-only init "
                          "(use --resume for orbax checkpoints)")
+    ap.add_argument("--artifact_dir", type=Path, default=None,
+                    help="checkpoint-artifact registry root (shared "
+                         "storage); publishes scored checkpoints with "
+                         "best/last aliases + a code snapshot (reference "
+                         "W&B log_model)")
+    ap.add_argument("--artifact_name", default="checkpoint")
+    ap.add_argument("--artifact_top_k", type=int, default=1)
+    ap.add_argument("--resume_artifact", default=None,
+                    help="resume from a registry artifact URI, e.g. "
+                         "'checkpoint@best' or 'checkpoint@v3' (requires "
+                         "--artifact_dir)")
     args = ap.parse_args()
 
     if args.multihost:
@@ -88,10 +99,17 @@ def main() -> None:
         log_every_n_steps=args.log_every,
         val_every_n_steps=args.val_every,
         ckpt_dir=str(args.ckpt_dir),
+        artifact_dir=(str(args.artifact_dir)
+                      if args.artifact_dir is not None else None),
+        artifact_name=args.artifact_name,
+        artifact_top_k=args.artifact_top_k,
     )
 
     trainer = Trainer(cfg, tcfg, seed=args.seed, dp_size=args.dp_size)
-    if args.resume:
+    if args.resume_artifact:
+        assert trainer.restore_from_artifact(args.resume_artifact), \
+            "artifact restore failed"
+    elif args.resume:
         assert trainer.restore(), "no checkpoint to resume from"
     elif args.init_ckpt is not None:
         from rvt_tpu.convert.torch_ckpt import load_torch_checkpoint

@@ -62,6 +62,13 @@ class TrainerConfig:
     # callbacks/detection.py:32-100); None disables
     train_viz_dir: Optional[str] = None
     train_viz_max_panels: int = 4
+    # checkpoint-artifact registry (reference W&B log_model=True,
+    # wandb_logger.py:254-320): publish checkpoints to a shared-storage
+    # registry directory with score metadata, best/last aliases, code
+    # snapshot, and top-k retention. None disables.
+    artifact_dir: Optional[str] = None
+    artifact_name: str = "checkpoint"
+    artifact_top_k: int = 1
 
 
 class Trainer:
@@ -89,6 +96,16 @@ class Trainer:
         self._steps = {(False, False): self.train_step}
         self.ckpt = CheckpointManager(Path(trainer_cfg.ckpt_dir),
                                       monitor=trainer_cfg.monitor)
+        self.artifacts = None
+        if trainer_cfg.artifact_dir is not None:
+            from rvt_tpu.parallel.multihost import is_main_process
+            from rvt_tpu.utils.artifacts import ArtifactRegistry
+            self.artifacts = ArtifactRegistry(trainer_cfg.artifact_dir)
+            if is_main_process():
+                # one code snapshot per run (reference save_code=True)
+                self.artifacts.publish_code(
+                    Path(__file__).resolve().parents[2],
+                    name=f"{trainer_cfg.artifact_name}-code")
         self.logger = MetricsLogger(Path(trainer_cfg.ckpt_dir) / "metrics.jsonl")
         self._lstm_states = None
         # step counter tracked on host: fetching state.step every iteration
@@ -120,6 +137,41 @@ class Trainer:
             params=replicate_tree(self.mesh, variables["params"]),
             batch_stats=replicate_tree(self.mesh,
                                        variables.get("batch_stats", {})))
+
+    def _publish_checkpoint(self, step: int,
+                            metric: Optional[float]) -> None:
+        """Push the just-written orbax step directory to the artifact
+        registry: alias ``last`` always, ``best`` when this step is the
+        best-manager's latest (reference _scan_and_log_checkpoints
+        aliasing), then apply top-k retention."""
+        src = self.ckpt.directory / "orbax" / str(step)
+        if not src.exists():
+            return
+        aliases = ["last"]
+        if self.ckpt.best_step() == step:
+            aliases.append("best")
+        name = self.tcfg.artifact_name
+        self.artifacts.publish(
+            src, name, score=metric, step=step, aliases=aliases,
+            metadata={"monitor": self.tcfg.monitor,
+                      "keep_top_k": self.tcfg.artifact_top_k})
+        self.artifacts.prune(name, self.tcfg.artifact_top_k)
+
+    def restore_from_artifact(self, uri: str) -> bool:
+        """Resume from a published artifact (reference get_checkpoint,
+        wandb_logger.py:77-87): resolve + md5-verify the payload, copy the
+        orbax step dir back into this run's checkpoint tree, restore."""
+        import shutil
+
+        assert self.artifacts is not None, "TrainerConfig.artifact_dir unset"
+        payload, manifest = self.artifacts.resolve(uri)
+        step = int(manifest["step"] if manifest["step"] is not None
+                   else payload.name)
+        dst = self.ckpt.directory / "orbax" / str(step)
+        if not dst.exists():
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copytree(payload, dst)
+        return self.restore(step)
 
     # -- train-time detection metrics -----------------------------------------
 
@@ -304,6 +356,8 @@ class Trainer:
             is_main = is_main_process()
             if (step_idx + 1) % self.tcfg.ckpt_every_n_steps == 0 and is_main:
                 self.ckpt.save(jax.device_get(self.state), step_idx + 1)
+                if self.artifacts is not None:
+                    self._publish_checkpoint(step_idx + 1, None)
 
             if (eval_fn is not None and self.tcfg.val_every_n_steps and
                     (step_idx + 1) % self.tcfg.val_every_n_steps == 0):
@@ -314,6 +368,9 @@ class Trainer:
                     self.logger.log(step_idx + 1,
                                     {f"val/{k}": v for k, v in val_metrics.items()})
                     if is_main:
-                        self.ckpt.save(jax.device_get(self.state), step_idx + 1,
-                                       metric=val_metrics.get(self.tcfg.monitor))
+                        metric = val_metrics.get(self.tcfg.monitor)
+                        self.ckpt.save(jax.device_get(self.state),
+                                       step_idx + 1, metric=metric)
+                        if self.artifacts is not None:
+                            self._publish_checkpoint(step_idx + 1, metric)
         return last_metrics

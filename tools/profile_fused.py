@@ -150,6 +150,30 @@ def main():
             fn = jax.jit(lambda xs, h0, c0, pw=pw, pg=pg, lw=lw, lb=lb,
                          common=common: split_stage_scan(
                              xs, pw, pg, lw, lb, h0, c0, **common))
+            # leg breakdown: batched attention pair vs whole-window LSTM
+            # scan (the split composition's two kernel launches)
+            from rvt_tpu.ops.fused_attention import fused_attention_pair
+            from rvt_tpu.ops.fused_scan import fused_lstm_scan
+
+            pair_fn = jax.jit(
+                lambda xs, pw=pw, pg=pg, common=common:
+                fused_attention_pair(
+                    xs.reshape(T * B, xs.shape[2], xs.shape[3],
+                               xs.shape[4]),
+                    pw, pg, heads=common["heads"],
+                    dim_head=common["dim_head"], part=common["part"],
+                    skip_first_norm=True, eps=common["eps"],
+                    ds_ln_params=common["ds_ln_params"],
+                    ds_eps=common["ds_eps"]))
+            t_pair = timeit(pair_fn, args.iters, x_seq)
+            y_pair = pair_fn(x_seq).reshape(T, B, h_dim, w_dim,
+                                            C).astype(dtype)
+            lstm_fn = jax.jit(lambda ys, h0, c0, lw=lw, lb=lb:
+                              fused_lstm_scan(ys, lw, lb, h0, c0))
+            t_lstm = timeit(lstm_fn, args.iters, y_pair, h0, c0,
+                            chain=lambda r, a: (a[0], r[1], r[2]))
+            print(f"stage{idx+1} split legs: attention-pair "
+                  f"{t_pair*1e3:6.2f} ms  lstm-scan {t_lstm*1e3:6.2f} ms")
         else:
             print(f"stage{idx+1}: mode={mode} (per-step fallback) — skipped;"
                   " NOTE: later stages are timed on this stage's raw conv"
