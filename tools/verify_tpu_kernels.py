@@ -437,13 +437,15 @@ def _verify_fused_train_scan() -> int:
         eps = 1e-5
         cfg = (C // dh, dh, part, eps, eps, mode == "dense", False)
 
-        def loss_scan(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0):
+        # wh as an ARGUMENT, not a closure: embedded as an MLIR constant
+        # it bloats the remote-compile payload (see _verify_split_train)
+        def loss_scan(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0, wh):
             h_seq, hT, cT = fused_stage_scan_train(
                 cfg, x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
             return (jnp.sum(h_seq.astype(jnp.float32) * wh)
                     + jnp.sum(hT) + jnp.sum(cT))
 
-        def loss_step(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0):
+        def loss_step(x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0, wh):
             def body(carry, x_t):
                 h, c = carry
                 h_t, c_t = fused_stage_step_train(
@@ -453,7 +455,7 @@ def _verify_fused_train_scan() -> int:
             return (jnp.sum(h_seq.astype(jnp.float32) * wh)
                     + jnp.sum(hT) + jnp.sum(cT))
 
-        args = (x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
+        args = (x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0, wh)
         argnums = tuple(range(9))
         vg_scan = jax.jit(jax.value_and_grad(loss_scan, argnums=argnums))
         vg_step = jax.jit(jax.value_and_grad(loss_step, argnums=argnums))
@@ -515,11 +517,15 @@ def _verify_split_train() -> int:
     wh = jnp.asarray(rng.randn(T, B, H, W, C) * 0.05, jnp.float32)
     eps = 1e-5
 
-    def total(h_seq, hT, cT):
+    # NOTE: the loss weight wh (39 MB f32) must be an ARGUMENT of the
+    # jitted functions — closed over, it is embedded in the serialized
+    # MLIR as a constant and the 39 MB payload OOM-kills the remote
+    # compile helper (observed: code_len 39.4 MB -> SIGKILL).
+    def total(h_seq, hT, cT, wh):
         return (jnp.sum(h_seq.astype(jnp.float32) * wh)
                 + jnp.sum(hT) + jnp.sum(cT))
 
-    def xla_loss(pv, cv, x_seq, ds_s, ds_b, h0, c0):
+    def xla_loss(pv, cv, x_seq, ds_s, ds_b, h0, c0, wh):
         def step(carry, x_t):
             xf = x_t.astype(jnp.float32)
             mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -532,9 +538,9 @@ def _verify_split_train() -> int:
             h_t, c_t = cell.apply(cv, y, carry, False)
             return (h_t, c_t), h_t.astype(jnp.bfloat16)
         (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), x_seq)
-        return total(h_seq, hT, cT)
+        return total(h_seq, hT, cT, wh)
 
-    def split_loss(pv, cv, x_seq, ds_s, ds_b, h0, c0):
+    def split_loss(pv, cv, x_seq, ds_s, ds_b, h0, c0, wh):
         win = train_block_params(pv["params"]["att_window"], True)
         grd = train_block_params(pv["params"]["att_grid"], False)
         lp = cv["params"]["conv1x1"]
@@ -543,9 +549,9 @@ def _verify_split_train() -> int:
         cfg = (C // dh, dh, part, eps, eps, False, False)
         h_seq, hT, cT = split_stage_scan_train(
             cfg, x_seq, ds_s, ds_b, win, grd, lw, lb, h0, c0)
-        return total(h_seq, hT, cT)
+        return total(h_seq, hT, cT, wh)
 
-    args = (pv, cv, x_seq, ds_s, ds_b, h0, c0)
+    args = (pv, cv, x_seq, ds_s, ds_b, h0, c0, wh)
     argnums = tuple(range(7))
     vg_x = jax.jit(jax.value_and_grad(xla_loss, argnums=argnums))
     vg_s = jax.jit(jax.value_and_grad(split_loss, argnums=argnums))
